@@ -1,0 +1,276 @@
+"""One crawl round as a single declarative DataFrame micro-batch.
+
+The reference's outer loop processes one company per iteration
+(brave_processor.py:248, brave_parallel_processing.py:366-371 pool fan-out);
+the engine lifts it to sets: every round is one DataFrame job —
+
+    frontier ──rank──► dequeue (politeness-budgeted, salted host windows)
+        │                   │ mapInPandas fetch+parse (Arrow batches)
+        │                   ▼
+        │              documents(spans) + crawl_log + seen'
+        │                   │ explode outlinks → canonicalize → admit
+        └──anti-join──► frontier'  (min-depth merge, dedup vs seen')
+
+Scale notes (1000-executor / 10^10-frontier design, verified on the local
+plan with .explain):
+  * the per-host dequeue is a salted two-phase window (W1 in SURVEY.md §2.6):
+    ``row_number() over (host, salt)`` bounds any single task's window to
+    1/SALT_N of a hot host before the exact per-host re-rank — salting
+    changes placement, never rank (risk R2);
+  * the global round cap is ``orderBy(total_order).limit(K)`` which Spark
+    executes as TakeOrderedAndProject (distributed top-K) — NOT a
+    single-partition window; the seq-assigning window then runs over ≤K rows;
+  * dedup is an exact ``left_anti`` join on url_hash (J2); the bloom
+    pre-filter (operators/seen.py) cheapens it but never decides membership
+    (risk R3);
+  * robots rules are a broadcast join (J3, north rule);
+  * all heavy expressions (canonicalization, priority, admission) are
+    column expressions inside whole-stage codegen; Python appears only in the
+    fetch+parse mapInPandas, where fetch is the stand-in for network I/O and
+    parsing is pandas-vectorized (functions/extract.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bravewebcrawler_spark.functions import extract
+from bravewebcrawler_spark.functions.canon import (
+    canonicalize_url_col,
+    host_of_col,
+    is_blacklisted_col,
+    url_hash_col,
+)
+from bravewebcrawler_spark.plans.policy import CrawlPolicy, path_of_col, priority_col
+from bravewebcrawler_spark.sources.synthweb import SynthWeb
+
+SALT_N = 8  # dequeue-window salt fan-out (defuses hot-host skew)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("round_added", T.IntegerType(), False),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("round_seen", T.IntegerType(), False),
+    ]
+)
+
+HOST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("tokens", T.DoubleType(), False),
+    ]
+)
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("media_ref", T.StringType(), True),
+            T.StructField("offset", T.IntegerType(), True),
+        ]
+    )
+)
+
+FETCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("spans", SPAN_TYPE, True),
+        T.StructField("outlinks", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def robots_df(spark: SparkSession, web: SynthWeb) -> DataFrame:
+    """Small robots dimension — broadcast at join time (J3)."""
+    rows = []
+    for i in range(web.n_hosts):
+        h = web.host(i)
+        rows.append((h, web.robots_disallow(h)))
+    return spark.createDataFrame(
+        rows, "host string, disallow_prefixes array<string>"
+    )
+
+
+def admit_candidates(raw_urls: DataFrame, depth_col: str, round_no: int, robots: DataFrame, policy: CrawlPolicy) -> DataFrame:
+    """Discovery-time shaping + filtering (blacklist P1, robots, depth cap).
+
+    ``raw_urls``: columns (url string, <depth_col> int). Returns FRONTIER_SCHEMA
+    rows. Everything is column expressions; robots is a broadcast left join.
+    """
+    c = (
+        raw_urls.where(F.col(depth_col) <= policy.max_depth)
+        .withColumn("url_canon", canonicalize_url_col(F.col("url")))
+        .withColumn("host", host_of_col(F.col("url")))
+        .where((F.col("host") != "") & ~is_blacklisted_col(F.col("host")))
+        .withColumn("path", path_of_col(F.col("url_canon")))
+        .withColumn("url_hash", url_hash_col(F.col("url_canon")))
+        .withColumn("priority", priority_col(F.col("host"), F.col("path"), F.col(depth_col)))
+        .withColumn("depth", F.col(depth_col).cast("int"))
+        .withColumn("round_added", F.lit(round_no))
+    )
+    c = c.join(F.broadcast(robots), "host", "left").where(
+        F.col("disallow_prefixes").isNull()
+        | ~F.exists(F.col("disallow_prefixes"), lambda p: F.col("path").startswith(p))
+    )
+    return c.select([f.name for f in FRONTIER_SCHEMA.fields])
+
+
+def merge_frontier(parts: DataFrame) -> DataFrame:
+    """Min-depth merge of frontier entries sharing a canonical URL.
+
+    Priority is a strictly depth-decreasing pure function of the URL, so
+    keeping the max-(priority), min-(depth) struct keeps the first/shallowest
+    discovery — the shared contract with the oracle.
+    """
+    best = F.max(F.struct(F.col("priority"), (-F.col("depth")).alias("negd"), F.col("round_added"))).alias("b")
+    return (
+        parts.groupBy("url_canon", "url_hash", "host", "path")
+        .agg(best)
+        .select(
+            "url_canon",
+            "url_hash",
+            "host",
+            "path",
+            F.col("b.priority").alias("priority"),
+            (-F.col("b.negd")).cast("int").alias("depth"),
+            F.col("b.round_added").alias("round_added"),
+        )
+    )
+
+
+def _fetch_parse_factory(web: SynthWeb):
+    """mapInPandas fn: fetch (the stand-in for executor-side HTTP I/O,
+    reference search_common.py:407-409) + vectorized span/outlink parse."""
+
+    def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html = pdf["url_canon"].map(web.render)  # per-URL "network" call
+            spans = extract.parse_spans_pd(html)
+            outlinks = extract.parse_outlinks_pd(html)
+            yield pd.DataFrame(
+                {
+                    "url_canon": pdf["url_canon"],
+                    "seq": pdf["seq"],
+                    "depth": pdf["depth"],
+                    "status": html.notna().map({True: "FETCHED_OK", False: "FETCH_404"}),
+                    "spans": spans,
+                    "outlinks": outlinks,
+                }
+            )
+
+    return fetch_parse
+
+
+def dequeue(frontier: DataFrame, host_state: DataFrame, policy: CrawlPolicy, refill: bool) -> DataFrame:
+    """Politeness-budgeted, skew-salted priority dequeue (O1/O2/W1/A7).
+
+    Returns frontier columns + ``seq`` (dequeue position within the round).
+    """
+    tokens = F.coalesce(F.col("tokens"), F.lit(policy.capacity))
+    if refill:
+        tokens = F.least(F.lit(policy.capacity), tokens + F.lit(policy.rate))
+    budgeted = frontier.join(host_state, "host", "left").withColumn(
+        "budget", F.floor(tokens).cast("int")
+    )
+
+    order = [F.col("priority").desc(), F.col("depth").asc(), F.col("url_hash").asc(), F.col("url_canon").asc()]
+    # phase 1: salted per-(host,salt) prefix — bounds hot-host window size
+    salted = budgeted.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(SALT_N)))
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    phase1 = salted.withColumn("rn1", F.row_number().over(w1)).where(F.col("rn1") <= F.col("budget"))
+    # phase 2: exact per-host prefix over the ≤ SALT_N×budget survivors
+    w2 = Window.partitionBy("host").orderBy(*order)
+    phase2 = phase1.withColumn("rn2", F.row_number().over(w2)).where(F.col("rn2") <= F.col("budget"))
+    # global round cap: distributed top-K (TakeOrderedAndProject), then the
+    # seq window runs over only K rows.
+    capped = phase2.orderBy(*order).limit(policy.max_urls_per_round)
+    wseq = Window.orderBy(*order)
+    return (
+        capped.withColumn("seq", (F.row_number().over(wseq) - 1).cast("int"))
+        .select(*[f.name for f in FRONTIER_SCHEMA.fields], "seq")
+    )
+
+
+def run_round(
+    spark: SparkSession,
+    web: SynthWeb,
+    frontier: DataFrame,
+    seen: DataFrame,
+    host_state: DataFrame,
+    robots: DataFrame,
+    policy: CrawlPolicy,
+    round_no: int,
+) -> dict[str, DataFrame]:
+    """Execute one round; returns the new state + round outputs (all lazy)."""
+    selected = dequeue(frontier, host_state, policy, refill=round_no > 0)
+
+    fetched = selected.select("url_canon", "seq", "depth").mapInPandas(
+        _fetch_parse_factory(web), schema=FETCHED_SCHEMA
+    )
+
+    crawl_log = fetched.select(
+        F.lit(round_no).alias("round"), "seq", "url_canon", "status"
+    )
+    documents = fetched.where(F.col("status") == "FETCHED_OK").select(
+        F.col("url_canon").alias("doc_id"), F.lit(round_no).alias("round"), "spans"
+    )
+
+    new_seen = seen.unionByName(
+        selected.select("url_canon", "url_hash", F.lit(round_no).alias("round_seen"))
+    )
+
+    # token accounting: refill (rounds>0), then subtract this round's spend
+    tokens0 = F.coalesce(F.col("tokens"), F.lit(policy.capacity))
+    if round_no > 0:
+        tokens0 = F.least(F.lit(policy.capacity), tokens0 + F.lit(policy.rate))
+    spends = selected.groupBy("host").agg(F.count("*").cast("double").alias("spent"))
+    new_host_state = (
+        host_state.join(spends, "host", "full")
+        .select(
+            "host",
+            (tokens0 - F.coalesce(F.col("spent"), F.lit(0.0))).alias("tokens"),
+        )
+    )
+
+    discovered_raw = (
+        fetched.select("depth", F.explode_outer("outlinks").alias("url"))
+        .where(F.col("url").isNotNull())
+        .select("url", (F.col("depth") + 1).alias("link_depth"))
+    )
+    discovered = admit_candidates(discovered_raw, "link_depth", round_no + 1, robots, policy)
+    # J2: exact anti-join against the updated seen set (authority; bloom is
+    # only ever a pre-filter — see operators/seen.py)
+    discovered = discovered.join(new_seen.select("url_hash"), "url_hash", "left_anti")
+
+    remaining = frontier.join(selected.select("url_hash"), "url_hash", "left_anti")
+    new_frontier = merge_frontier(remaining.unionByName(discovered))
+
+    return {
+        "frontier": new_frontier,
+        "seen": new_seen,
+        "host_state": new_host_state,
+        "documents": documents,
+        "crawl_log": crawl_log,
+        "selected_count": selected,  # caller may count for the empty-round gate
+    }

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we'd set on a real cluster: AQE on (runtime
+re-planning + skew-join handling), Arrow transport for pandas UDFs, UTC session
+timezone (oracle comparisons), shuffle partitions sized to cores rather than the
+200 default. On a 1000-executor cluster the same builder is used with
+``master`` unset (picked up from spark-submit) and ``shuffle.partitions``
+scaled to ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bravewebcrawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so the
+    same entry points serve tests, bench at two parallelism levels, and a real
+    spark-submit deployment (where master is injected externally).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # ~1x cores locally; on a real cluster pass 2-3x total executor cores.
+        n = int(master[master.index("[") + 1 : -1]) if "[" in master else cpus
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

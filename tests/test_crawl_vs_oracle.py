@@ -1,0 +1,82 @@
+"""North-rule correctness gate: engine vs sequential oracle.
+
+Checks the three invariants from BASELINE.json:
+  1. identical crawl ordering — the (round, seq, url_canon, status) log,
+  2. identical URL-seen membership — set equality (bloom never decides),
+  3. per-document span-sequence equality — (kind, text, media_ref, offset).
+
+Selection-contract note (why engine == oracle): the oracle selects greedily in
+total order subject to per-host budget and the global cap. Before the cap
+fires, each host's selected URLs are exactly its first-``budget`` eligible
+URLs in total order; once the cap fires every later URL is rejected. Hence
+oracle-selected == top-``cap`` (total order) of the union of per-host
+prefixes — precisely the engine's salted-window + TakeOrdered construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bravewebcrawler_spark.oracle.refcrawler import crawl_oracle
+from bravewebcrawler_spark.plans.crawl import crawl, read_outputs
+from bravewebcrawler_spark.plans.policy import CrawlPolicy
+from bravewebcrawler_spark.sources.synthweb import SynthWeb
+
+POLICY = CrawlPolicy(capacity=4.0, rate=2.0, max_urls_per_round=60, max_rounds=4, max_depth=6)
+WEB = SynthWeb(seed=42, n_hosts=20, pages_per_host=12, hot_hosts=2)
+
+
+@pytest.fixture(scope="module")
+def runs(spark, tmp_path_factory):
+    seeds = WEB.seed_urls(12)
+    oracle = crawl_oracle(WEB, [u for _, u in seeds], POLICY)
+    state_dir = str(tmp_path_factory.mktemp("crawlstate"))
+    seeds_df = spark.createDataFrame(seeds, "seed_id string, url string")
+    crawl(spark, WEB, seeds_df, POLICY, state_dir)
+    return oracle, read_outputs(spark, state_dir)
+
+
+def test_crawl_ordering_identical(runs):
+    oracle, eng = runs
+    got = sorted(
+        (r["round"], r["seq"], r["url_canon"], r["status"])
+        for r in eng["crawl_log"].collect()
+    )
+    expect = sorted(oracle.crawl_log)
+    assert len(got) == len(expect) and got == expect
+
+
+def test_seen_membership_identical(runs):
+    oracle, eng = runs
+    got = {r["url_canon"] for r in eng["seen"].collect()}
+    assert got == oracle.seen
+
+
+def test_span_sequences_identical(runs):
+    oracle, eng = runs
+    docs = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in eng["documents"].collect()
+    }
+    expect = {
+        u: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for u, spans in oracle.documents.items()
+    }
+    assert docs.keys() == expect.keys()
+    assert docs == expect
+
+
+def test_frontier_rest_matches(runs):
+    oracle, eng = runs
+    got = sorted(r["url_canon"] for r in eng["frontier"].collect())
+    assert got == oracle.frontier_rest
+
+
+def test_some_real_crawling_happened(runs):
+    oracle, _ = runs
+    assert len(oracle.seen) > 40, "fixture too small to be meaningful"
+    assert any(s == "FETCH_404" for *_x, s in oracle.crawl_log)
+    rounds = {r for r, *_ in oracle.crawl_log}
+    assert len(rounds) >= 3
