@@ -1,38 +1,802 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry implements an operator from SURVEY.md §2 (reference file:line in
+the docstring of the underlying operator module) or a training-data-pipeline
+operator (dedup / similarity / text analysis), with a DuckDB oracle twin.
+Column names and value rounding are aligned on both sides so the driver's
+order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bravewebcrawler_spark.functions import extract as X
+from bravewebcrawler_spark.functions import text as TX
+from bravewebcrawler_spark.operators import dedup as DD
+from bravewebcrawler_spark.operators import merge as MG
+from bravewebcrawler_spark.operators import ranking as RK
+from bravewebcrawler_spark.operators import similarity as SIM
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# flagship
+# =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the engine's signature operator — skew-salted politeness
+    dequeue (SURVEY.md W1/A7) — over the events table at sf0.001: top-3
+    highest-value events per user, exactly the frontier top-k shape."""
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    return RK.salted_top_k(
+        events,
+        ["user_id"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+        salt_col=F.col("event_id"),
+    ).select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"), F.col("rn").cast("long").alias("rn"))
+
+
+# =====================================================================
+# queries + oracles
+# =====================================================================
+_FACTS_SUFFIX = (
+    " UID CHE-123.456.789 Telefon +41 44 123 45 67 mail Info@Example.CH"
+    " Sitz: Zuerich Gegruendet 1987"
+)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the flagship scan+agg (SURVEY.md §5.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def o1_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: per-key priority ordering + top-1 (search_common.py:272-275)."""
+    orders = _t(spark, sf_dir, "orders")
+    top = RK.top_k_per_key(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderpriority").asc(), F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+        k=1,
+    )
+    return top.select("o_custkey", "o_orderkey", "o_orderpriority")
+
+
+def o2_top1_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3 cascade with tier provenance (brave_search.py:81-100)."""
+    orders = _t(spark, sf_dir, "orders")
+    top = RK.top1_cascade(
+        orders,
+        ["o_custkey"],
+        [
+            ("open_big", (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000)),
+            ("open", F.col("o_orderstatus") == "O"),
+            ("any", F.lit(True)),
+        ],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+    return top.select("o_custkey", "o_orderkey", "tier")
+
+
+def o6_rank_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 claim-rank preference (search_common.py:354-374): 'F' is
+    deprecated-analog, preference P > O, then date/key order."""
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderstatus", "status")
+    picked = RK.rank_preference(
+        orders.where(F.col("status") != "F").withColumn("rank_label", F.col("status")),
+        ["o_custkey"],
+        F.col("rank_label"),
+        ["P", "O"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+    return picked.select("o_custkey", "o_orderkey", F.col("rank_label").alias("chosen_status"))
+
+
+def o4_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: deterministic ordered limit pushed to the scan."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def p1_blacklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 substring blacklist (search_common.py:22,158-160) on documents.source."""
+    docs = _t(spark, sf_dir, "documents")
+    bl = F.array(F.lit("src1"), F.lit("src3"))
+    kept = docs.where(~F.exists(bl, lambda b: F.col("source").contains(b)))
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs"))
+
+
+def p7_status_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/K3 dead-letter taxonomy (brave_processor.py:249-261): tag, never drop."""
+    orders = _t(spark, sf_dir, "orders")
+    tagged = orders.withColumn(
+        "processing_status",
+        F.when(F.col("o_totalprice").isNull(), "INVALID_NULL_PRICE")
+        .when(F.col("o_totalprice") < 5000, "SUSPICIOUS_LOW_PRICE")
+        .when(F.col("o_orderpriority") == "5-LOW", "DEPRIORITIZED")
+        .otherwise("VALID"),
+    )
+    return tagged.groupBy("processing_status").agg(F.count("*").alias("n"))
+
+
+def _facts_text():
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_FACTS_SUFFIX))
+        .when(F.col("doc_id") % 5 == 0, F.lit(" Gegruendet 1923 mail a.b@c.ch"))
+        .otherwise(F.lit("")),
+    )
+
+
+def f_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7-F11 extraction battery (google_harvester.py:13-16,61-64)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("t2", _facts_text())
+    return docs.select(
+        "doc_id",
+        X.che_id_col(F.col("t2")).alias("che_id"),
+        X.phone_col(F.col("t2")).alias("phone"),
+        X.email_col(F.col("t2")).alias("email"),
+        X.founded_year_col(F.col("t2")).alias("founded"),
+        X.address_col(F.col("t2")).alias("address"),
+    )
+
+
+def a2_missing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 missing-fields gate (models.py:14-16) over the battery output."""
+    battery = f_regex_battery(spark, sf_dir)
+    return MG.missing_field_counts(battery, ["che_id", "phone", "email", "founded", "address"])
+
+
+def a1_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 first-non-null merge across priority-ordered sources (models.py:18-22)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def src(status: str) -> DataFrame:
+        return (
+            orders.where(F.col("o_orderstatus") == status)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.round(F.max("o_totalprice"), 2).alias("best_price"))
+        )
+
+    merged = MG.coalesce_merge([src("O"), src("F"), src("P")], "custkey", ["best_price"])
+    return merged
+
+
+def f16_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 JSON access on events.props."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.count("*").alias("n")
+    )
+
+
+def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 seen-set anti-join (dedup authority)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    return (
+        ev.join(clickers, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def a7_per_key_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W1 skew-salted per-key top-k — the politeness dequeue shape."""
+    ev = _t(spark, sf_dir, "events")
+    top = RK.salted_top_k(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id").asc()], k=3, salt_col=F.col("event_id")
+    )
+    return top.select(
+        "user_id", "event_id", F.round("value", 4).alias("value"), F.col("rn").cast("long").alias("rn")
+    )
+
+
+def w3_running_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 cumulative per-round metrics shape: daily orders + running total."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(F.count("*").alias("n"))
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select("order_date", "n", F.sum("n").over(w).alias("cum_n"))
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return marked.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+
+
+def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-01-01")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: broadcast dims through a 5-way join."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: customers with open orders but no finished orders."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_c.exceptAll(fin_c)
+
+
+def p9_pdf_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 pdf+year link filter (google_harvester.py:105-114)."""
+    p = _t(spark, sf_dir, "part")
+    link = F.concat(
+        F.lit("http://reports.example/"),
+        F.col("p_brand"),
+        F.lit("-"),
+        F.col("p_partkey").cast("string"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("-2024.pdf"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("-2023.pdf"))
+        .otherwise(F.lit(".html")),
+    )
+    flt = p.withColumn("link", link).where(
+        F.col("link").endswith(".pdf")
+        & (F.col("link").contains("2024") | F.col("link").contains("2023"))
+    )
+    return flt.groupBy("p_brand").agg(F.count("*").alias("n_reports"))
+
+
+def _sql_facts_text() -> str:
+    return (
+        "text || case when doc_id % 3 = 0 then ' UID CHE-123.456.789 Telefon "
+        "+41 44 123 45 67 mail Info@Example.CH Sitz: Zuerich Gegruendet 1987' "
+        "when doc_id % 5 = 0 then ' Gegruendet 1923 mail a.b@c.ch' else '' end"
+    )
+
+
+_BATTERY_SQL = rf"""
+select doc_id,
+       regexp_extract(t2, 'CHE-\d{{3}}\.\d{{3}}\.\d{{3}}', 0) as che_id,
+       regexp_extract(t2, '\+?\d[\d\s\-().]{{7,}}', 0) as phone,
+       lower(regexp_extract(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', 0)) as email,
+       regexp_extract(t2, '\b(18|19|20)\d{{2}}\b', 0) as founded,
+       regexp_extract(t2, '(?i)(?:Sitz|Adresse):\s*([^<\n]*)', 1) as address
+from (select doc_id, {_sql_facts_text()} as t2 from documents)
+"""
+
+
+# =====================================================================
+# training-data pipeline ops: dedup / similarity / text / multimodal
+# =====================================================================
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic near-dups (last-2-tokens-trimmed copies of
+    every 10th doc) + exact copies of every 7th doc — dedup pressure with
+    known ground truth, identical construction in the SQL oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens_col(F.col("text"))
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " ").alias("text"),
+    )
+    exact = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+_SQL_CORPUS = """
+with tk as (select doc_id, list_filter(string_split(text, ' '), t -> t <> '') as toks, text from documents),
+corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000 as doc_id,
+         array_to_string(list_slice(toks, 1, greatest(len(toks) - 2, 1)), ' ') as text
+  from tk where doc_id % 10 = 0
+  union all
+  select doc_id + 200000 as doc_id, text from documents where doc_id % 7 = 0
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    groups = DD.exact_dedup_groups(corpus, "doc_id", "text")
+    return groups.where(F.col("n_dups") > 1).select("keeper_id", "n_dups")
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return DD.jaccard_pairs(corpus, "doc_id", "text", k=3, threshold=0.6)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return DD.minhash_lsh_pairs(corpus, "doc_id", "text", k=3)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return DD.simhash_groups(corpus, "doc_id", "text", bits=16).where(F.col("n_docs") > 1)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fp"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.lang_id_col(F.col("text")).alias("lang_guess"),
+        TX.lang_score_col(F.col("text"), "en").cast("long").alias("s_en"),
+        TX.lang_score_col(F.col("text"), "de").cast("long").alias("s_de"),
+        TX.lang_score_col(F.col("text"), "fr").cast("long").alias("s_fr"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score_col(F.col("text")).alias("quality"))
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.ws_token_count_col(F.col("text")).cast("long").alias("ws_tokens"),
+        TX.bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe_tokens"),
+        F.round(TX.stopword_ratio_col(F.col("text")), 4).alias("stopword_ratio"),
+    )
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    base = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    scaled = base.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.5).alias("v"),
+    )
+    return base.unionByName(scaled)
+
+
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _emb_corpus(spark, sf_dir).withColumn("norm", SIM.norm_col(F.col("v")))
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(SIM.dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= 0.99)
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return SIM.lsh_bucketed_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10, n_planes=8)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload byte length + mime partitioning stats
+    (decode itself is the stubbed mapInPandas pass, tested in pytest)."""
+    from bravewebcrawler_spark.operators.multimodal import media_table_from_documents
+
+    media = media_table_from_documents(_t(spark, sf_dir, "documents"))
+    return media.groupBy("mime").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregation (the streaming
+    variant runs the identical plan via readStream — tests/test_streaming.py)."""
+    from bravewebcrawler_spark.streaming.events import window_agg_batch
+
+    return window_agg_batch(_t(spark, sf_dir, "events"))
+
+
+# shared SQL fragments for the vector oracles (exact sequential folds so
+# DuckDB's doubles are bit-identical to Spark's)
+_SQL_DOT = (
+    "list_reduce(list_prepend(cast(0.0 as double), "
+    "list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+_SQL_EMB_CORPUS = """
+with base as (select vec_id, embedding::DOUBLE[] as v from embeddings where vec_id < 150),
+corpus as (
+  select vec_id, v from base
+  union all
+  select vec_id + 100000 as vec_id, list_transform(v, x -> x * 1.5) as v from base where vec_id % 20 = 0
+),
+normed as (select vec_id, v,
+  sqrt(list_reduce(list_prepend(cast(0.0 as double), list_transform(range(1, 65), i -> v[i] * v[i])), (x, y) -> x + y)) as norm
+from corpus)
+"""
+
+_SQL_MINHASH_H = "cast(('0x' || substr(md5(s), 1, 15)) as bigint) % 1000000007"
+
+
+def _sql_bucket(v: str, n_planes: int = 8) -> str:
+    """DuckDB twin of operators.similarity.hyperplane_sign_bucket."""
+    w = (
+        "cast((cast(('0x' || substr(md5('plane' || cast(p as varchar) || ':' || cast(i as varchar)), 1, 15)) "
+        "as bigint) % 1001 - 500) as double)"
+    )
+    proj = (
+        f"list_reduce(list_prepend(cast(0.0 as double), "
+        f"list_transform(range(0, 64), i -> {v}[i + 1] * {w})), (x, y) -> x + y)"
+    )
+    return (
+        f"list_sum(list_transform(range(0, {n_planes}), p -> "
+        f"case when {proj} > 0 then (cast(1 as bigint) << p) else cast(0 as bigint) end))"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "o1_priority_rank": o1_priority_rank,
+        "o2_top1_cascade": o2_top1_cascade,
+        "o6_rank_preference": o6_rank_preference,
+        "o4_limit_pushdown": o4_limit_pushdown,
+        "p1_blacklist_filter": p1_blacklist_filter,
+        "p7_status_taxonomy": p7_status_taxonomy,
+        "f_regex_battery": f_regex_battery,
+        "a2_missing_counts": a2_missing_counts,
+        "a1_coalesce_merge": a1_coalesce_merge,
+        "f16_json_props": f16_json_props,
+        "j2_anti_join": j2_anti_join,
+        "a7_per_key_topk": a7_per_key_topk,
+        "w3_running_metrics": w3_running_metrics,
+        "sessionization": sessionization,
+        "q3_shipping": q3_shipping,
+        "q5_region_revenue": q5_region_revenue,
+        "set_except": set_except,
+        "p9_pdf_year_filter": p9_pdf_year_filter,
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "text_fingerprint": text_fingerprint,
+        "text_lang_id": text_lang_id,
+        "text_quality": text_quality,
+        "text_token_stats": text_token_stats,
+        "embed_neardup": embed_neardup,
+        "ann_brute_topk": ann_brute_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "multimodal_meta": multimodal_meta,
+        "stream_window_counts": stream_window_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_discount), 4) as avg_disc,
+                   count(*) as count_order
+            from lineitem where l_shipdate <= timestamp '1998-09-02'
+            group by l_returnflag, l_linestatus
+        """,
+        "o1_priority_rank": """
+            select o_custkey, o_orderkey, o_orderpriority from (
+              select o_custkey, o_orderkey, o_orderpriority,
+                     row_number() over (partition by o_custkey
+                       order by o_orderpriority asc, o_orderdate desc, o_orderkey asc) as rn
+              from orders) where rn = 1
+        """,
+        "o2_top1_cascade": """
+            select o_custkey, o_orderkey, tier from (
+              select o_custkey, o_orderkey,
+                     case when o_orderstatus = 'O' and o_totalprice > 150000 then 'open_big'
+                          when o_orderstatus = 'O' then 'open' else 'any' end as tier,
+                     case when o_orderstatus = 'O' and o_totalprice > 150000 then 0
+                          when o_orderstatus = 'O' then 1 else 2 end as tr,
+                     row_number() over (partition by o_custkey
+                       order by case when o_orderstatus = 'O' and o_totalprice > 150000 then 0
+                                     when o_orderstatus = 'O' then 1 else 2 end asc,
+                                o_totalprice desc, o_orderkey asc) as rn
+              from orders) where rn = 1
+        """,
+        "o6_rank_preference": """
+            select o_custkey, o_orderkey, chosen_status from (
+              select o_custkey, o_orderkey, o_orderstatus as chosen_status,
+                     row_number() over (partition by o_custkey
+                       order by case when o_orderstatus = 'P' then 0 when o_orderstatus = 'O' then 1 else 2 end,
+                                o_orderdate asc, o_orderkey asc) as rn
+              from orders where o_orderstatus <> 'F') where rn = 1
+        """,
+        "o4_limit_pushdown": """
+            select o_orderkey, round(o_totalprice, 2) as o_totalprice
+            from orders order by o_totalprice desc, o_orderkey asc limit 5
+        """,
+        "p1_blacklist_filter": """
+            select source, count(*) as n_docs from documents
+            where not (contains(source, 'src1') or contains(source, 'src3'))
+            group by source
+        """,
+        "p7_status_taxonomy": """
+            select case when o_totalprice is null then 'INVALID_NULL_PRICE'
+                        when o_totalprice < 5000 then 'SUSPICIOUS_LOW_PRICE'
+                        when o_orderpriority = '5-LOW' then 'DEPRIORITIZED'
+                        else 'VALID' end as processing_status,
+                   count(*) as n
+            from orders group by 1
+        """,
+        "f_regex_battery": _BATTERY_SQL,
+        "a2_missing_counts": f"""
+            select sum(case when che_id is null or che_id = '' or che_id = 'null' then 1 else 0 end) as missing_che_id,
+                   sum(case when phone is null or phone = '' or phone = 'null' then 1 else 0 end) as missing_phone,
+                   sum(case when email is null or email = '' or email = 'null' then 1 else 0 end) as missing_email,
+                   sum(case when founded is null or founded = '' or founded = 'null' then 1 else 0 end) as missing_founded,
+                   sum(case when address is null or address = '' or address = 'null' then 1 else 0 end) as missing_address
+            from ({_BATTERY_SQL})
+        """,
+        "a1_coalesce_merge": """
+            with s0 as (select o_custkey as custkey, round(max(o_totalprice),2) as bp from orders where o_orderstatus='O' group by 1),
+                 s1 as (select o_custkey as custkey, round(max(o_totalprice),2) as bp from orders where o_orderstatus='F' group by 1),
+                 s2 as (select o_custkey as custkey, round(max(o_totalprice),2) as bp from orders where o_orderstatus='P' group by 1)
+            select coalesce(s0.custkey, s1.custkey, s2.custkey) as custkey,
+                   coalesce(s0.bp, s1.bp, s2.bp) as best_price
+            from s0 full join s1 using (custkey) full join s2 using (custkey)
+        """,
+        "f16_json_props": """
+            select event_type,
+                   round(avg(cast(json_extract_string(props, '$.k') as integer)), 4) as avg_k,
+                   count(*) as n
+            from events group by event_type
+        """,
+        "j2_anti_join": """
+            select user_id, count(*) as n_events from events
+            where user_id not in (select user_id from events where event_type = 'click')
+            group by user_id
+        """,
+        "a7_per_key_topk": """
+            select user_id, event_id, round(value, 4) as value, rn from (
+              select user_id, event_id, value,
+                     row_number() over (partition by user_id order by value desc, event_id asc) as rn
+              from events) where rn <= 3
+        """,
+        "w3_running_metrics": """
+            select order_date, n, sum(n) over (order by order_date
+                     rows between unbounded preceding and current row) as cum_n
+            from (select cast(o_orderdate as date) as order_date, count(*) as n
+                  from orders group by 1)
+        """,
+        "sessionization": """
+            select user_id, sum(new_sess) as n_sessions, count(*) as n_events from (
+              select user_id,
+                     case when lag(ts) over w is null
+                               or epoch(ts - lag(ts) over w) > 1800 then 1 else 0 end as new_sess
+              from events window w as (partition by user_id order by ts, event_id))
+            group by user_id
+        """,
+        "q3_shipping": """
+            select l_orderkey, cast(o_orderdate as date) as order_date,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from customer join orders on o_custkey = c_custkey
+            join lineitem on l_orderkey = o_orderkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < timestamp '1997-01-01'
+              and l_shipdate > timestamp '1997-01-01'
+            group by l_orderkey, order_date
+            order by revenue desc, l_orderkey asc limit 10
+        """,
+        "q5_region_revenue": """
+            select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            where r_name = 'EUROPE'
+            group by n_name
+        """,
+        "set_except": """
+            select distinct o_custkey from orders where o_orderstatus = 'O'
+            except
+            select distinct o_custkey from orders where o_orderstatus = 'F'
+        """,
+        "p9_pdf_year_filter": """
+            select p_brand, count(*) as n_reports from (
+              select p_brand,
+                     'http://reports.example/' || p_brand || '-' || cast(p_partkey as varchar)
+                     || case when p_partkey % 4 = 0 then '-2024.pdf'
+                             when p_partkey % 4 = 1 then '-2023.pdf' else '.html' end as link
+              from part)
+            where link like '%.pdf' and (contains(link, '2024') or contains(link, '2023'))
+            group by p_brand
+        """,
+        "dedup_exact": f"""
+            {_SQL_CORPUS}
+            select keeper_id, n_dups from (
+              select md5(text) as h, min(doc_id) as keeper_id, count(*) as n_dups
+              from corpus group by 1) where n_dups > 1
+        """,
+        "dedup_jaccard": f"""
+            {_SQL_CORPUS},
+            sh as (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from corpus),
+            sizes as (select doc, count(*) as sz from sh group by 1),
+            inter as (select a.doc as id_a, b.doc as id_b, count(*) as n_inter
+                      from sh a join sh b on a.sh = b.sh and a.doc < b.doc group by 1, 2)
+            select id_a, id_b, jaccard from (
+              select id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 4) as jaccard
+              from inter join sizes sa on sa.doc = id_a join sizes sb on sb.doc = id_b)
+            where jaccard >= 0.6
+        """,
+        "dedup_minhash_lsh": f"""
+            {_SQL_CORPUS},
+            tk2 as (select doc_id as doc, {DD.sql_shingles('text', 3)} as sh,
+                           list_filter(string_split(text, ' '), t -> t <> '') as toks
+                    from corpus),
+            sig as (select doc,
+                      list_transform(range(0, 16), j ->
+                        list_min(list_transform(sh, s -> (({_SQL_MINHASH_H}) * (2*j+3) + (5*j+7)) % 1000000007))) as sig
+                    from tk2 where len(toks) >= 3),
+            banded as (select doc, b as band,
+                         list_reduce(list_prepend(cast(0 as bigint), list_slice(sig, b*4+1, b*4+4)),
+                                     (acc, v) -> (acc * 31 + v) % 1000000007) as band_key
+                       from sig cross join range(4) t(b))
+            select distinct a.doc as id_a, b.doc as id_b
+            from banded a join banded b
+              on a.band = b.band and a.band_key = b.band_key and a.doc < b.doc
+        """,
+        "dedup_simhash": f"""
+            {_SQL_CORPUS},
+            hs as (select doc_id as doc,
+                     list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                                    t -> cast(('0x' || substr(md5(t), 1, 15)) as bigint)) as hv
+                   from corpus),
+            sh as (select doc,
+                     list_sum(list_transform(range(0, 16), b ->
+                       case when list_sum(list_transform(hv, h -> ((h >> b) & 1) * 2 - 1)) > 0
+                            then (cast(1 as bigint) << b) else cast(0 as bigint) end)) as simhash
+                   from hs)
+            select simhash, count(*) as n_docs, min(doc) as keeper_id
+            from sh group by 1 having count(*) > 1
+        """,
+        "text_fingerprint": f"""
+            select doc_id, {TX.sql_fingerprint('text')} as fp from documents
+        """,
+        "text_lang_id": """
+            select doc_id,
+                   case when s_de >= s_en and s_de >= s_fr then 'de'
+                        when s_en >= s_fr then 'en' else 'fr' end as lang_guess,
+                   s_en, s_de, s_fr
+            from (select doc_id,
+                    len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is'], t))) as s_en,
+                    len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht','ist','ein'], t))) as s_de,
+                    len(list_filter(toks, t -> list_contains(['le','la','les','et','de','un','est'], t))) as s_fr
+                  from (select doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') as toks
+                        from documents))
+        """,
+        "text_quality": r"""
+            select doc_id,
+                   floor((cast(0.4 as double) * least(length(text) / cast(500.0 as double), cast(1.0 as double))
+                       + cast(0.3 as double) * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                                                      / cast(greatest(length(text), 1) as double))
+                       + cast(0.3 as double) * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                                / cast(greatest(length(text), 1) as double))) * 10000) / 10000 as quality
+            from documents
+        """,
+        "text_token_stats": r"""
+            select doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) as ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^A-Za-z\d\s]')) as bpe_tokens,
+                   round(len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+                                         t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t)))
+                         / cast(greatest(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 1) as double),
+                         4) as stopword_ratio
+            from documents
+        """,
+        "embed_neardup": f"""
+            {_SQL_EMB_CORPUS}
+            select id_a, id_b, cosine from (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                     round({_SQL_DOT.format(a="a.v", b="b.v")} / (a.norm * b.norm), 4) as cosine
+              from normed a join normed b on a.vec_id < b.vec_id)
+            where cosine >= 0.99
+        """,
+        "ann_brute_topk": f"""
+            with q as (select vec_id as query_id, embedding::DOUBLE[] as qv from embeddings where vec_id < 5),
+            c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings),
+            scored as (select query_id, neighbor_id,
+                         {_SQL_DOT.format(a="qv", b="cv")}
+                         / (sqrt({_SQL_DOT.format(a="qv", b="qv")}) * sqrt({_SQL_DOT.format(a="cv", b="cv")})) as cos_raw
+                       from c cross join q where query_id <> neighbor_id),
+            ranked as (select query_id, neighbor_id, cos_raw,
+                         row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
+                       from scored)
+            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) as cosine
+            from ranked where rnk <= 10
+        """,
+        "ann_lsh_topk": f"""
+            with qraw as (select vec_id, embedding::DOUBLE[] as v from embeddings where vec_id < 5),
+            craw as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            q as (select vec_id as query_id, v as qv, {_sql_bucket("v")} as bucket from qraw),
+            c as (select vec_id as neighbor_id, v as cv, {_sql_bucket("v")} as bucket from craw),
+            scored as (select query_id, neighbor_id,
+                         {_SQL_DOT.format(a="qv", b="cv")}
+                         / (sqrt({_SQL_DOT.format(a="qv", b="qv")}) * sqrt({_SQL_DOT.format(a="cv", b="cv")})) as cos_raw
+                       from c join q using (bucket) where query_id <> neighbor_id),
+            ranked as (select query_id, neighbor_id, cos_raw,
+                         row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
+                       from scored)
+            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) as cosine
+            from ranked where rnk <= 10
+        """,
+        "multimodal_meta": """
+            select mime, count(*) as n_media,
+                   cast(sum(octet_length(payload)) as bigint) as total_bytes,
+                   max(octet_length(payload)) as max_bytes
+            from (select encode(text) as payload,
+                         case when doc_id % 3 = 0 then 'image/jpeg'
+                              when doc_id % 3 = 1 then 'audio/wav'
+                              else 'video/mp4' end as mime
+                  from documents)
+            group by mime
+        """,
+        "stream_window_counts": """
+            select cast(floor(epoch(ts) / 300) * 300 as bigint) as win_start,
+                   event_type, count(*) as n, round(sum(value), 4) as sum_value
+            from events group by 1, 2
+        """,
+    }

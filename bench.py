@@ -1,0 +1,102 @@
+"""Benchmark runner (driver contract): headline queries + crawl throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+  {"metric": ..., "value": <total seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "crawl_urls_per_s": <rate>, ...}
+
+The crawl component measures the north-rule metric (URLs fetched+deduped per
+second) over a synthetic frontier; BENCH/run_scaling.py runs this same job at
+two parallelism levels (local[8] vs local[32]) for the scaling-efficiency
+evidence in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping",
+    "q5_region_revenue",
+    "a7_per_key_topk",
+    "j2_anti_join",
+    "sessionization",
+    "w3_running_metrics",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "text_fingerprint",
+    "text_token_stats",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "stream_window_counts",
+    "multimodal_meta",
+]
+
+
+def bench_crawl(spark) -> dict:
+    """North-rule metric: URLs fetched+deduped per second (synthetic web)."""
+    from bravewebcrawler_spark.plans.crawl import crawl
+    from bravewebcrawler_spark.plans.policy import CrawlPolicy
+    from bravewebcrawler_spark.sources.synthweb import SynthWeb
+
+    web = SynthWeb(seed=42, n_hosts=1500, pages_per_host=150, hot_hosts=5)
+    policy = CrawlPolicy(
+        capacity=24.0, rate=24.0, max_urls_per_round=30000, max_rounds=3,
+        max_depth=8, use_bloom=True, bloom_buckets=64, bloom_m_bits=1 << 22,
+    )
+    seeds = spark.createDataFrame(web.seed_urls(5000), "seed_id string, url string")
+    state_dir = os.path.join(tempfile.gettempdir(), f"bench_crawl_{os.getpid()}")
+    t0 = time.time()
+    res = crawl(spark, web, seeds, policy, state_dir)
+    wall = time.time() - t0
+    return {
+        "crawl_urls": res["total_dequeued"],
+        "crawl_wall_s": round(wall, 2),
+        "crawl_urls_per_s": round(res["total_dequeued"] / wall, 2),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    skip_crawl = os.environ.get("SPARK_GRAFT_SKIP_CRAWL", "") == "1"
+    crawl_only = os.environ.get("SPARK_GRAFT_CRAWL_ONLY", "") == "1"
+
+    import __spark_entry__ as entrymod
+    from bravewebcrawler_spark.session import get_spark
+
+    spark = get_spark("bwc-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen once so per-query timings measure the plan, not startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in [] if crawl_only else HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "cpus": cpus,
+    }
+    if not skip_crawl:
+        out.update(bench_crawl(spark))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Text analysis for large-scale training-data pipelines.
+
+These are the operations a 100 TB document-corpus pipeline needs on top of the
+reference's extraction battery: language ID, quality scoring, token counting,
+and document fingerprinting (SURVEY.md §5.3 / build-plan step 8). Everything
+here is pure column expressions — JVM-side, whole-stage-codegen'd, no Python
+in the hot path — and every function has an ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` so DuckDB verifies it value-for-value.
+
+Portable hashing: ``portable_hash64`` is the md5-derived 60-bit hash (same
+construction as functions/canon.url_hash_col) computable identically in
+Spark, Python, and DuckDB — the basis for minhash/simhash oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic marker-word lists for the language-ID heuristic.
+# (A production impl would use char n-gram profiles; the operator shape —
+# score per language, argmax with deterministic tiebreak — is what matters.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "de", "un", "est"),
+}
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+# A BPE-ish token: runs of letters, runs of digits, or single punctuation.
+BPE_ISH_RE = r"[A-Za-z]+|\d+|[^A-Za-z\d\s]"
+
+# Fingerprint modulus/base sized so the fold step acc*BASE + h (acc < MOD,
+# h < 2^60) stays below 2^63 — Spark 4 runs ANSI mode (overflow throws) and
+# DuckDB errors on BIGINT overflow: 1e9 * 1e6 + 1.2e18 < 9.2e18. Exact
+# integer math, identical in Spark / DuckDB / Python.
+FP_MOD = 1_000_000_007
+FP_BASE = 1_000_003
+
+
+def portable_hash64(c: Column) -> Column:
+    """md5-derived 60-bit hash; DuckDB twin:
+    ``cast(('0x' || substr(md5(x), 1, 15)) as bigint)``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens (empty tokens filtered) — shared with the SQL twin
+    ``list_filter(string_split(text,' '), t -> t <> '')``."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def ws_token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """Count of BPE-ish tokens (letter runs / digit runs / punct); the cheap
+    proxy for LLM token counting over a 100 TB corpus."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+
+
+def stopword_ratio_col(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens_col(F.lower(text))
+    sw = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Length/punct/stopword quality heuristic in [0,1], rounded to 4 dp.
+
+    score = 0.4*saturating(len/500) + 0.3*(1 - punct_ratio) + 0.3*alpha_ratio
+    — the shape (cheap columnar features → weighted score) is the operator;
+    weights are arbitrary but fixed and mirrored in the SQL oracle.
+    """
+    n = F.length(text)
+    len_part = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(n, F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = alpha / F.greatest(n, F.lit(1)).cast("double")
+    raw = F.lit(0.4) * len_part + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.3) * alpha_ratio
+    # floor-quantize rather than round: the raw doubles are bit-identical
+    # across engines (same int inputs, same op order), while round-half
+    # tiebreak rules differ between engines.
+    return F.floor(raw * 10000) / 10000
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    """# of marker-word hits for ``lang`` among the lowercased tokens."""
+    toks = tokens_col(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over language marker scores; ties broken by language name asc
+    (deterministic, mirrored in SQL via a greatest-struct comparison)."""
+    scored = [
+        F.struct(lang_score_col(text, lg).alias("s"), F.lit(i).alias("nrank"), F.lit(lg).alias("lang"))
+        # languages in REVERSE name order so that on equal score the
+        # lexicographically-smaller name wins via greatest()
+        for i, lg in enumerate(sorted(LANG_MARKERS, reverse=True))
+    ]
+    return F.greatest(*scored)["lang"]
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Polynomial rolling hash over whitespace tokens mod 2^61-1 (F20-style
+    document fingerprint). Exact integer math — oracle-identical.
+
+    fp = fold(tokens, 0, (acc, t) -> (acc * FP_BASE + portable_hash64(t)) % FP_MOD)
+    """
+    return F.aggregate(
+        tokens_col(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + portable_hash64(t)) % F.lit(FP_MOD),
+    )
+
+
+# ------------------------------------------------------------- SQL builders
+def sql_portable_hash64(expr: str) -> str:
+    return f"cast(('0x' || substr(md5({expr}), 1, 15)) as bigint)"
+
+
+def sql_tokens(expr: str) -> str:
+    return f"list_filter(string_split({expr}, ' '), t -> t <> '')"
+
+
+def sql_fingerprint(expr: str) -> str:
+    h = sql_portable_hash64("t")
+    # DuckDB list_reduce has no initial accumulator: prepend a zero sentinel
+    # token whose hash we replace with 0 via the first fold step shape.
+    return (
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform({sql_tokens(expr)}, t -> {h})), "
+        f"(acc, hv) -> (acc * {FP_BASE} + hv) % {FP_MOD})"
+    )

@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines at corpus scale.
+
+The reference dedups implicitly (each input row processed once,
+SURVEY.md §2.4 A6); a 100 TB corpus needs the full ladder:
+
+  exact           hash-groupBy on md5(text)
+  n-gram Jaccard  shingle explode → self-equi-join → pair aggregate
+  MinHash + LSH   portable minhash signatures → band buckets → bucket join
+  SimHash         per-bit token-hash vote → bucket on the signature
+  embedding       cosine near-dup (operators/similarity.py)
+
+Everything is expressed with built-in DataFrame ops (explode / groupBy /
+join) — shuffles land on shingle/band/bucket keys, partial aggregation is
+map-side, and no Python runs per row. All hashes are the portable md5-derived
+construction (functions/text.py) so every operator has an exact DuckDB oracle
+twin in __spark_entry__.oracle_sql.
+
+Scale notes: shingle explode multiplies rows by ~tokens-per-doc — at 100 TB
+the LSH path (fixed 16-value signature per doc, then tiny band keys) is the
+one that survives; the full-pair Jaccard join exists for small/verification
+scale and as the LSH refinement step on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bravewebcrawler_spark.functions.text import portable_hash64, tokens_col
+
+MINHASH_P = 1_000_000_007
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 rows per band
+
+
+def _hash_a(j: int) -> int:
+    return 2 * j + 3
+
+
+def _hash_b(j: int) -> int:
+    return 5 * j + 7
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: (keeper_id, n_dups) per distinct text hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles_col(text_col, k: int = 3):
+    """k-word shingles from whitespace tokens (join with single spaces)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def sql_shingles(expr: str, k: int = 3) -> str:
+    toks = f"list_filter(string_split({expr}, ' '), t -> t <> '')"
+    return (
+        f"case when len({toks}) >= {k} then "
+        f"list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')) "
+        f"else [] end"
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    shingle-set explode → self-equi-join on shingle → per-pair intersection
+    count vs set sizes. Equi-join (never theta); the shuffle key is the
+    shingle, so hot shingles are the skew risk — AQE skew-join handles it.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature_col(text_col, k: int = 3):
+    """NUM_HASHES-wide minhash signature over k-shingles.
+
+    h_j(s) = (a_j * H(s) + b_j) mod P with H the portable 60-bit hash reduced
+    mod P; a_j <= 2*NUM_HASHES+3 keeps a_j*H < 2^63 (ANSI-safe)."""
+    sh = shingles_col(text_col, k)
+    hashed = F.transform(sh, lambda s: portable_hash64(s) % MINHASH_P)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+        lambda j: F.array_min(
+            F.transform(hashed, lambda h: (h * (2 * j + 3) + (5 * j + 7)) % MINHASH_P)
+        ),
+    )
+
+
+def minhash_signature_cols(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Signature as NUM_HASHES columns via explode + hash-aggregate.
+
+    The corpus-scale shape: each shingle is hashed ONCE (the array-fold
+    variant re-derives md5 per hash function), and the per-doc min is a
+    map-side partial aggregate — shuffle carries only (doc, 16 longs).
+    Values are identical to minhash_signature_col.
+    """
+    sh = (
+        df.where(F.size(tokens_col(F.col(text_col))) >= k)
+        .select(F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+        .select("doc", (portable_hash64(F.col("s")) % MINHASH_P).alias("h"))
+    )
+    aggs = [
+        F.min((F.col("h") * (2 * j + 3) + (5 * j + 7)) % MINHASH_P).alias(f"m{j}")
+        for j in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """MinHash+LSH candidate pairs: signature → band keys → bucket equi-join.
+
+    The scale path: per doc only NUM_HASHES values survive; candidate
+    generation shuffles on small (band, band_key) keys. Pairs are distinct
+    (id_a < id_b); refinement (true Jaccard on candidates) is jaccard_pairs
+    restricted to these pairs.
+    """
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    sig = minhash_signature_cols(df, id_col, text_col, k)
+    per_band = []
+    for band in range(NUM_BANDS):
+        key = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            key = (key * 31 + F.col(f"m{band * rows_per_band + r}")) % MINHASH_P
+        per_band.append(sig.select("doc", F.lit(band).alias("band"), key.alias("band_key")))
+    banded = per_band[0]
+    for extra in per_band[1:]:
+        banded = banded.unionByName(extra)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_col(text_col, bits: int = 16):
+    """SimHash over whitespace tokens: bit b is the sign of the per-bit vote
+    sum across token hashes. Composed per-bit from array folds (built-ins)."""
+    hashed = F.transform(tokens_col(text_col), lambda t: portable_hash64(t))
+
+    # Plain closure per bit (see similarity.hyperplane_sign_bucket note on
+    # why `lambda a, h, b=b:` breaks under PySpark lambda-arity dispatch).
+    def vote_fn(b: int):
+        return lambda a, h: a + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashed, F.lit(0).cast("long"), vote_fn(b))
+        acc = acc + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Near-dup buckets: docs sharing a full simhash (cheap first stage; a
+    banded Hamming-distance variant refines at scale)."""
+    sh = df.select(F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("simhash"))
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc").alias("keeper_id"))
+        .where(F.col("n_docs") >= 1)
+    )

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-STATE_TABLES = ("frontier", "seen", "host_state")
+STATE_TABLES = ("frontier", "seen", "host_state", "bloom")
 OUTPUT_TABLES = ("documents", "crawl_log")
 
 

@@ -87,28 +87,33 @@ def crawl(
         shutil.rmtree(state_dir)
     os.makedirs(state_dir, exist_ok=True)
 
+    from bravewebcrawler_spark.operators.seen import empty_bloom
+
     robots = robots_df(spark, web)
     start_round = 0
     last = ckpt.latest_round(state_dir) if resume else None
     if last is not None:
         state = ckpt.load_state(spark, state_dir, last)
         frontier, seen, host_state = state["frontier"], state["seen"], state["host_state"]
+        bloom = state["bloom"]
         start_round = last + 1
     else:
         st = initial_state(spark, web, seeds, policy)
         frontier, seen, host_state = st["frontier"], st["seen"], st["host_state"]
+        bloom = empty_bloom(spark, policy.bloom_buckets)
         # K3: dead-letter rows are kept with their status, never dropped
         st["dead_letter"].write.mode("overwrite").parquet(os.path.join(state_dir, "dead_letter"))
 
     total_fetched = 0
     for rnd in range(start_round, policy.max_rounds):
         t0 = time.time()
-        out = run_round(spark, web, frontier, seen, host_state, robots, policy, rnd)
+        out = run_round(spark, web, frontier, seen, host_state, robots, policy, rnd, bloom)
         # Materialize round outputs; state for round rnd is committed atomically.
         tables = {
             "frontier": out["frontier"],
             "seen": out["seen"],
             "host_state": out["host_state"],
+            "bloom": out["bloom"],
             "documents": out["documents"],
             "crawl_log": out["crawl_log"],
         }
@@ -132,6 +137,7 @@ def crawl(
         frontier = spark.read.parquet(os.path.join(rd, "frontier"))
         seen = spark.read.parquet(os.path.join(rd, "seen"))
         host_state = spark.read.parquet(os.path.join(rd, "host_state"))
+        bloom = spark.read.parquet(os.path.join(rd, "bloom"))
         if dequeued == 0:
             break
         if stop_after_round is not None and rnd >= stop_after_round:

@@ -38,6 +38,11 @@ class CrawlPolicy:
     max_urls_per_round: int = 200  # global round cap (by total order)
     max_rounds: int = 6
     max_depth: int = 8
+    # bloom pre-filter for the dedup anti-join (operators/seen.py); never
+    # decides membership — False only moves all work to the exact join
+    use_bloom: bool = False
+    bloom_buckets: int = 64
+    bloom_m_bits: int = 1 << 16
 
 
 def priority_py(host: str, path: str, depth: int) -> float:

@@ -221,8 +221,13 @@ def run_round(
     robots: DataFrame,
     policy: CrawlPolicy,
     round_no: int,
+    bloom: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Execute one round; returns the new state + round outputs (all lazy)."""
+    from bravewebcrawler_spark.operators.seen import bloom_insert, dedup_with_bloom, empty_bloom
+
+    if bloom is None:
+        bloom = empty_bloom(spark, policy.bloom_buckets)
     selected = dequeue(frontier, host_state, policy, refill=round_no > 0)
 
     fetched = selected.select("url_canon", "seq", "depth").mapInPandas(
@@ -259,9 +264,16 @@ def run_round(
         .select("url", (F.col("depth") + 1).alias("link_depth"))
     )
     discovered = admit_candidates(discovered_raw, "link_depth", round_no + 1, robots, policy)
-    # J2: exact anti-join against the updated seen set (authority; bloom is
-    # only ever a pre-filter — see operators/seen.py)
-    discovered = discovered.join(new_seen.select("url_hash"), "url_hash", "left_anti")
+    # J2 dedup: the exact anti-join is always the authority; with use_bloom
+    # the bucketed bloom splits candidates so only bloom HITS pay the join
+    # against the (large) seen table (operators/seen.py, risk R3).
+    new_bloom = bloom_insert(bloom, selected.select("url_hash"), policy.bloom_buckets, policy.bloom_m_bits)
+    if policy.use_bloom:
+        discovered = dedup_with_bloom(
+            discovered, new_seen, new_bloom, policy.bloom_buckets, policy.bloom_m_bits
+        )
+    else:
+        discovered = discovered.join(new_seen.select("url_hash"), "url_hash", "left_anti")
 
     remaining = frontier.join(selected.select("url_hash"), "url_hash", "left_anti")
     new_frontier = merge_frontier(remaining.unionByName(discovered))
@@ -270,6 +282,7 @@ def run_round(
         "frontier": new_frontier,
         "seen": new_seen,
         "host_state": new_host_state,
+        "bloom": new_bloom,
         "documents": documents,
         "crawl_log": crawl_log,
         "selected_count": selected,  # caller may count for the empty-round gate

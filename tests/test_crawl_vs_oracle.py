@@ -74,6 +74,24 @@ def test_frontier_rest_matches(runs):
     assert got == oracle.frontier_rest
 
 
+def test_bloom_crawl_matches_oracle(spark, tmp_path_factory, runs):
+    """use_bloom=True must be invisible to semantics (tiny filter → real
+    false positives → the exact-join authority is actually exercised)."""
+    from dataclasses import replace
+
+    oracle, _ = runs
+    policy = replace(POLICY, use_bloom=True, bloom_buckets=8, bloom_m_bits=1 << 12)
+    state_dir = str(tmp_path_factory.mktemp("crawlstate_bloom"))
+    seeds_df = spark.createDataFrame(WEB.seed_urls(12), "seed_id string, url string")
+    crawl(spark, WEB, seeds_df, policy, state_dir)
+    eng = read_outputs(spark, state_dir)
+    got = sorted(
+        (r["round"], r["seq"], r["url_canon"], r["status"]) for r in eng["crawl_log"].collect()
+    )
+    assert got == sorted(oracle.crawl_log)
+    assert {r["url_canon"] for r in eng["seen"].collect()} == oracle.seen
+
+
 def test_some_real_crawling_happened(runs):
     oracle, _ = runs
     assert len(oracle.seen) > 40, "fixture too small to be meaningful"

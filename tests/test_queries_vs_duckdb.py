@@ -1,0 +1,40 @@
+"""Mini driver-gate: every __spark_entry__ query vs its DuckDB oracle at
+sf0.001 (the full-size rehearsal is tools/check_queries.py at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tools.check_queries import compare, duck_con  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    fn = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    df = fn(spark, sf_dir)
+    if name not in oracles:
+        assert df.count() >= 0  # rows-only check (driver does the same)
+        return
+    problems = compare(name, df, oracles[name], con)
+    assert not problems, "\n".join(problems)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"user_id", "event_id", "event_type", "value", "rn"}
+    # top-3 per user, rank within bounds
+    assert all(1 <= r["rn"] <= 3 for r in rows)
