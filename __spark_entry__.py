@@ -450,6 +450,89 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_agg_batch(_t(spark, sf_dir, "events"))
 
 
+def p6_relevance_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 relevance pre-check (search_common.py:395-461): token match vs
+    title/domain, generic-title guard (F13), HTTP-error policy — over a
+    deterministic synthesized (name, title, domain, status) corpus."""
+    from bravewebcrawler_spark.functions import relevance as RV
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.concat(F.lit("Docu "), F.col("doc_id").cast("string"), F.lit(" AG")).alias("name"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Home"))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("Docu "), F.col("doc_id").cast("string"), F.lit(" Portal")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("Unrelated Site"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("title"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("www.docu"), F.col("doc_id").cast("string"), F.lit(".ch")))
+        .otherwise(F.lit("example.com"))
+        .alias("domain"),
+        F.element_at(
+            F.array(F.lit("OK"), F.lit("TIMEOUT"), F.lit("HTTP_404"), F.lit("HTTP_503"), F.lit("NETWORK_ERROR")),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("status"),
+    )
+    relevant = F.when(
+        F.col("title").isNotNull(), RV.title_relevant_col(F.col("title"), F.col("name"), F.col("domain"))
+    ).otherwise(RV.fetch_error_policy_col(F.col("status")))
+    return d.select("doc_id", "status", relevant.alias("relevant"))
+
+
+def p3_host_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 host-match feature derivation (search_common.py:163-172,253-269)."""
+    from bravewebcrawler_spark.functions import relevance as RV
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.concat(F.lit("Docu"), (F.col("doc_id") % 50).cast("string"), F.lit(" Holding AG")).alias("name"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("docu"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.ch")))
+        .otherwise(F.lit("other.example.com"))
+        .alias("host"),
+    )
+    feats = RV.host_match_features(F.col("name"), F.col("host"))
+    return d.select("doc_id", feats["company_match_in_host"].alias("match_in_host"), feats["is_ch_domain"].alias("is_ch"))
+
+
+def o3_source_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 source cascade with provenance (brave_search.py:63-109): first
+    non-null across priority-ordered sources + which source won."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def src(status: str) -> DataFrame:
+        return (
+            orders.where(F.col("o_orderstatus") == status)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.round(F.max("o_totalprice"), 2).alias(f"p_{status}"))
+        )
+
+    j = src("O").join(src("F"), "custkey", "full").join(src("P"), "custkey", "full")
+    return j.select(
+        "custkey",
+        F.coalesce("p_O", "p_F", "p_P").alias("best_price"),
+        F.when(F.col("p_O").isNotNull(), "open")
+        .when(F.col("p_F").isNotNull(), "finished")
+        .otherwise("pending")
+        .alias("source_of_price"),
+    )
+
+
+def f12_digit_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 digit extraction + bounds check (search_common.py:73-91)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    reply = F.when(F.col("doc_id") % 9 == 0, F.lit("keine Antwort None")).otherwise(
+        F.concat(F.lit("Ich waehle Kandidat "), (F.col("doc_id") % 7).cast("string"), F.lit(" von 5"))
+    )
+    digits = F.regexp_extract(reply, r"\d+", 0)
+    choice = F.when(digits != "", digits.cast("int"))
+    return docs.select(
+        "doc_id",
+        choice.alias("choice"),
+        (choice.isNotNull() & (choice >= 1) & (choice <= 5)).alias("valid"),
+    )
+
+
 # shared SQL fragments for the vector oracles (exact sequential folds so
 # DuckDB's doubles are bit-identical to Spark's)
 _SQL_DOT = (
@@ -521,6 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "multimodal_meta": multimodal_meta,
         "stream_window_counts": stream_window_counts,
+        "p6_relevance_precheck": p6_relevance_precheck,
+        "p3_host_match": p3_host_match,
+        "o3_source_cascade": o3_source_cascade,
+        "f12_digit_extraction": f12_digit_extraction,
     }
 
 
@@ -798,5 +885,74 @@ def oracle_sql() -> dict[str, str]:
             select cast(floor(epoch(ts) / 300) * 300 as bigint) as win_start,
                    event_type, count(*) as n, round(sum(value), 4) as sum_value
             from events group by 1, 2
+        """,
+        "p6_relevance_precheck": r"""
+            with d as (
+              select doc_id,
+                     'Docu ' || cast(doc_id as varchar) || ' AG' as name,
+                     case when doc_id % 4 = 0 then 'Home'
+                          when doc_id % 4 = 1 then 'Docu ' || cast(doc_id as varchar) || ' Portal'
+                          when doc_id % 4 = 2 then 'Unrelated Site' end as title,
+                     case when doc_id % 2 = 0 then 'www.docu' || cast(doc_id as varchar) || '.ch'
+                          else 'example.com' end as domain,
+                     (['OK','TIMEOUT','HTTP_404','HTTP_503','NETWORK_ERROR'])[cast(doc_id % 5 as integer) + 1] as status
+              from documents),
+            n as (select *,
+                    list_filter(regexp_split_to_array(
+                      trim(regexp_replace(regexp_replace(lower(name), '\s+(ag|gmbh|sa|sàrl)\b', '', 'g'), '[.,]', '', 'g')),
+                      '\s+'), t -> length(t) > 2) as toks,
+                    regexp_replace(lower(domain), '^www\.', '') as dom
+                  from d)
+            select doc_id, status,
+                   case when title is not null then
+                     case when lower(title) in ('home','welcome','startseite','index','homepage','start','hauptseite','website')
+                          then false
+                          else len(list_filter(toks, t -> contains(lower(title), t) or contains(dom, t))) > 0 end
+                   else
+                     case when status = 'TIMEOUT' then true
+                          when status in ('HTTP_403','HTTP_404') then false
+                          when status like 'HTTP_5%' then false
+                          when status like 'HTTP\_%' escape '\' then true
+                          when status = 'NETWORK_ERROR' then false
+                          else true end
+                   end as relevant
+            from n
+        """,
+        "p3_host_match": r"""
+            with d as (
+              select doc_id,
+                     'Docu' || cast(doc_id % 50 as varchar) || ' Holding AG' as name,
+                     case when doc_id % 3 = 0 then 'docu' || cast(doc_id % 50 as varchar) || '.example.ch'
+                          else 'other.example.com' end as host
+              from documents),
+            n as (select doc_id, host,
+                    trim(regexp_replace(regexp_replace(lower(name), '\s+(ag|gmbh|sa|sàrl)\b', '', 'g'), '[.,]', '', 'g')) as nn
+                  from d)
+            select doc_id,
+                   (contains(host, regexp_split_to_array(nn, '\s+')[1])
+                    or starts_with(host, regexp_replace(nn, '\s+', '', 'g'))) as match_in_host,
+                   host like '%.ch' as is_ch
+            from n
+        """,
+        "o3_source_cascade": """
+            with s0 as (select o_custkey as custkey, round(max(o_totalprice),2) as p0 from orders where o_orderstatus='O' group by 1),
+                 s1 as (select o_custkey as custkey, round(max(o_totalprice),2) as p1 from orders where o_orderstatus='F' group by 1),
+                 s2 as (select o_custkey as custkey, round(max(o_totalprice),2) as p2 from orders where o_orderstatus='P' group by 1)
+            select custkey,
+                   coalesce(p0, p1, p2) as best_price,
+                   case when p0 is not null then 'open'
+                        when p1 is not null then 'finished'
+                        else 'pending' end as source_of_price
+            from s0 full join s1 using (custkey) full join s2 using (custkey)
+        """,
+        "f12_digit_extraction": r"""
+            select doc_id,
+                   case when digits <> '' then cast(digits as integer) end as choice,
+                   (digits <> '' and try_cast(digits as integer) between 1 and 5) as valid
+            from (select doc_id,
+                         regexp_extract(case when doc_id % 9 = 0 then 'keine Antwort None'
+                                             else 'Ich waehle Kandidat ' || cast(doc_id % 7 as varchar) || ' von 5' end,
+                                        '\d+', 0) as digits
+                  from documents)
         """,
     }

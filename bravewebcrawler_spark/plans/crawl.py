@@ -117,11 +117,25 @@ def crawl(
             "documents": out["documents"],
             "crawl_log": out["crawl_log"],
         }
-        # one pass: write everything, then read the cheap counts back
+        # Materialize the round's cached intermediates ONCE, in dependency
+        # order, BEFORE the concurrent writes: Spark does not dedupe
+        # in-flight computations of a persisted partition, so three parallel
+        # write jobs hitting a cold cache would each recompute the dequeue +
+        # fetch chain (measured: 3x CPU + GC storm at local[32]).
+        debug = os.environ.get("BWC_DEBUG_TIMING", "") == "1"
+        t_warm = time.time()
+        for df in out["_cached"]:
+            df.count()
+        if debug:
+            print(f"  round {rnd} cache warm in {time.time() - t_warm:6.2f}s", flush=True)
         rd = ckpt.write_tables(state_dir, rnd, tables)
-        log = spark.read.parquet(os.path.join(rd, "crawl_log"))
-        dequeued = log.count()
-        fetched_ok = log.where(F.col("status") == "FETCHED_OK").count()
+        if debug:
+            print(f"  round {rnd} writes done at {time.time() - t0:6.2f}s", flush=True)
+        # metrics from the warm cache (no parquet re-reads); frontier/seen
+        # sizes from parquet metadata (row-group stats, no data scan)
+        fetched = out["_cached"][1]
+        dequeued = out["selected_count"].count()
+        fetched_ok = fetched.where(F.col("status") == "FETCHED_OK").count()
         metrics = ckpt.RoundMetrics(
             round_no=rnd,
             dequeued=dequeued,
@@ -132,6 +146,10 @@ def crawl(
         )
         # tables already written: publish manifest atomically (commit point)
         ckpt.publish_manifest(state_dir, rnd, metrics)
+        for df in out["_cached"]:
+            df.unpersist()
+        if debug:
+            print(f"  round {rnd}: dequeued={dequeued} total={time.time() - t0:6.2f}s", flush=True)
         total_fetched += dequeued
         # reload committed state => bounded lineage across rounds
         frontier = spark.read.parquet(os.path.join(rd, "frontier"))

@@ -60,6 +60,10 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("priority", T.DoubleType(), False),
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("round_added", T.IntegerType(), False),
+        # per-partition provenance (north rule): which round and which source
+        # partition appended this entry — debugging/audit only, never part of
+        # the ordering or equality contracts
+        T.StructField("lineage", T.StringType(), False),
     ]
 )
 
@@ -128,6 +132,10 @@ def admit_candidates(raw_urls: DataFrame, depth_col: str, round_no: int, robots:
         .withColumn("priority", priority_col(F.col("host"), F.col("path"), F.col(depth_col)))
         .withColumn("depth", F.col(depth_col).cast("int"))
         .withColumn("round_added", F.lit(round_no))
+        .withColumn(
+            "lineage",
+            F.concat(F.lit(f"r{round_no}:p"), F.spark_partition_id().cast("string")),
+        )
     )
     c = c.join(F.broadcast(robots), "host", "left").where(
         F.col("disallow_prefixes").isNull()
@@ -143,7 +151,14 @@ def merge_frontier(parts: DataFrame) -> DataFrame:
     keeping the max-(priority), min-(depth) struct keeps the first/shallowest
     discovery — the shared contract with the oracle.
     """
-    best = F.max(F.struct(F.col("priority"), (-F.col("depth")).alias("negd"), F.col("round_added"))).alias("b")
+    best = F.max(
+        F.struct(
+            F.col("priority"),
+            (-F.col("depth")).alias("negd"),
+            F.col("round_added"),
+            F.col("lineage"),
+        )
+    ).alias("b")
     return (
         parts.groupBy("url_canon", "url_hash", "host", "path")
         .agg(best)
@@ -155,6 +170,7 @@ def merge_frontier(parts: DataFrame) -> DataFrame:
             F.col("b.priority").alias("priority"),
             (-F.col("b.negd")).cast("int").alias("depth"),
             F.col("b.round_added").alias("round_added"),
+            F.col("b.lineage").alias("lineage"),
         )
     )
 
@@ -224,14 +240,33 @@ def run_round(
     bloom: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Execute one round; returns the new state + round outputs (all lazy)."""
-    from bravewebcrawler_spark.operators.seen import bloom_insert, dedup_with_bloom, empty_bloom
+    from pyspark import StorageLevel
+
+    from bravewebcrawler_spark.operators.seen import bloom_insert, bloom_split, empty_bloom
 
     if bloom is None:
         bloom = empty_bloom(spark, policy.bloom_buckets)
-    selected = dequeue(frontier, host_state, policy, refill=round_no > 0)
+    # selected and fetched fan out into every downstream branch (seen, log,
+    # documents, host_state, frontier); persisting them makes the dequeue
+    # windows and the mapInPandas fetch run ONCE per round instead of once
+    # per state-table write. The caller unpersists after the round commit.
+    #
+    # CRITICAL for scaling: the global-cap TakeOrderedAndProject (and the seq
+    # window) collapse to a single partition — without the repartition below,
+    # the whole fetch+parse of a round would run in ONE task and adding
+    # executors could not help (measured: local[8] beat local[32] before
+    # this). seq is already assigned, so spreading by url_hash is free.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    selected = (
+        dequeue(frontier, host_state, policy, refill=round_no > 0)
+        .repartition(n_part, F.col("url_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    fetched = selected.select("url_canon", "seq", "depth").mapInPandas(
-        _fetch_parse_factory(web), schema=FETCHED_SCHEMA
+    fetched = (
+        selected.select("url_canon", "seq", "depth")
+        .mapInPandas(_fetch_parse_factory(web), schema=FETCHED_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     crawl_log = fetched.select(
@@ -264,13 +299,32 @@ def run_round(
         .select("url", (F.col("depth") + 1).alias("link_depth"))
     )
     discovered = admit_candidates(discovered_raw, "link_depth", round_no + 1, robots, policy)
+    # Within-round dedup FIRST (JVM hash aggregate): a page fan-out of ~30
+    # links means most discoveries are duplicates — collapsing them before
+    # the seen-set machinery keeps the Arrow cogroup (bloom) or the anti-join
+    # input at |unique| instead of |links|.
+    discovered = merge_frontier(discovered)
     # J2 dedup: the exact anti-join is always the authority; with use_bloom
     # the bucketed bloom splits candidates so only bloom HITS pay the join
     # against the (large) seen table (operators/seen.py, risk R3).
-    new_bloom = bloom_insert(bloom, selected.select("url_hash"), policy.bloom_buckets, policy.bloom_m_bits)
+    # new_bloom feeds three consumers (both split branches + its own state
+    # write) and discovered feeds two — persist both so the canonicalization
+    # chain and the bucket-update applyInPandas run once per round.
+    new_bloom = bloom_insert(
+        bloom, selected.select("url_hash"), policy.bloom_buckets, policy.bloom_m_bits
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cached = [selected, fetched, new_bloom]
     if policy.use_bloom:
-        discovered = dedup_with_bloom(
-            discovered, new_seen, new_bloom, policy.bloom_buckets, policy.bloom_m_bits
+        # inline dedup_with_bloom with the tagged split persisted: the
+        # bucket-cogroup membership test runs once, not once per branch
+        tagged = bloom_split(
+            discovered, new_bloom, policy.bloom_buckets, policy.bloom_m_bits
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(tagged)
+        fresh = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+        suspect = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
+        discovered = fresh.unionByName(
+            suspect.join(new_seen.select("url_hash"), "url_hash", "left_anti")
         )
     else:
         discovered = discovered.join(new_seen.select("url_hash"), "url_hash", "left_anti")
@@ -286,4 +340,5 @@ def run_round(
         "documents": documents,
         "crawl_log": crawl_log,
         "selected_count": selected,  # caller may count for the empty-round gate
+        "_cached": cached,  # caller unpersists after commit
     }

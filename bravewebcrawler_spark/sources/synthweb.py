@@ -60,6 +60,9 @@ class SynthWeb:
     n_hosts: int = 50
     pages_per_host: int = 40
     hot_hosts: int = 2  # first K hosts receive ~40% of all links (skew)
+    weight: int = 1  # page-size multiplier: paragraphs/media/links per page
+    # (weight>1 models realistic page volume for benchmarking; the function
+    # stays pure, so oracle parity is unaffected)
 
     # ------------------------------------------------------------- structure
     def host(self, i: int) -> str:
@@ -78,10 +81,12 @@ class SynthWeb:
         if not url_canon.startswith(prefix):
             return None
         rest = url_canon[len(prefix) :]
-        try:
-            host_i = int(rest[:3])
-        except ValueError:
+        dot = rest.find(".")
+        # host index: all digits up to the first dot (host ids are %03d
+        # formatted but grow beyond 3 digits when n_hosts > 1000)
+        if dot < 3 or not rest[:dot].isdigit():
             return None
+        host_i = int(rest[:dot])
         if host_i >= self.n_hosts:
             return None
         expected_host = self.host(host_i)
@@ -146,9 +151,9 @@ class SynthWeb:
             title = f"{_WORDS[r % len(_WORDS)].capitalize()} {_WORDS[(r // 31) % len(_WORDS)]} AG — Seite {page_j}"
         parts.append(f"<title>{title}</title></head><body>")
 
-        n_paras = 2 + r % 4
-        n_imgs = 1 + (r // 5) % 3
-        n_links = 4 + (r // 11) % 5
+        n_paras = (2 + r % 4) * self.weight
+        n_imgs = (1 + (r // 5) % 3) * self.weight
+        n_links = 4 + (r // 11) % 5 + 3 * (self.weight - 1)
         facts_r = _rnd(self.seed, "facts", host_i, page_j)
         fact_lines: list[str] = []
         if facts_r % 3 == 0:
