@@ -518,6 +518,22 @@ def o3_source_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def metrics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round metrics rollup shape (SURVEY §2.10: cube over round/host →
+    here cube over status/priority): subtotals at every grouping level."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
 def f12_digit_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 digit extraction + bounds check (search_common.py:73-91)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -608,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_host_match": p3_host_match,
         "o3_source_cascade": o3_source_cascade,
         "f12_digit_extraction": f12_digit_extraction,
+        "metrics_cube": metrics_cube,
     }
 
 
@@ -944,6 +961,12 @@ def oracle_sql() -> dict[str, str]:
                         when p1 is not null then 'finished'
                         else 'pending' end as source_of_price
             from s0 full join s1 using (custkey) full join s2 using (custkey)
+        """,
+        "metrics_cube": """
+            select coalesce(o_orderstatus, 'ALL') as status,
+                   coalesce(o_orderpriority, 'ALL') as priority,
+                   count(*) as n, round(sum(o_totalprice), 2) as total
+            from orders group by cube (o_orderstatus, o_orderpriority)
         """,
         "f12_digit_extraction": r"""
             select doc_id,

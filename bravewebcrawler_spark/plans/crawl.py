@@ -133,7 +133,7 @@ def crawl(
             print(f"  round {rnd} writes done at {time.time() - t0:6.2f}s", flush=True)
         # metrics from the warm cache (no parquet re-reads); frontier/seen
         # sizes from parquet metadata (row-group stats, no data scan)
-        fetched = out["_cached"][1]
+        fetched = out["fetched"]
         dequeued = out["selected_count"].count()
         fetched_ok = fetched.where(F.col("status") == "FETCHED_OK").count()
         metrics = ckpt.RoundMetrics(

@@ -198,7 +198,53 @@ def _fetch_parse_factory(web: SynthWeb):
     return fetch_parse
 
 
-def dequeue(frontier: DataFrame, host_state: DataFrame, policy: CrawlPolicy, refill: bool) -> DataFrame:
+def _global_rank_cap(
+    survivors: DataFrame, order: list, cap: int, cache_registry: list | None
+) -> DataFrame:
+    """Exact global top-``cap`` + dense seq, distributed.
+
+    For small caps TakeOrderedAndProject + a tiny window is optimal; for
+    large caps both serialize (driver merge / single-partition window), so:
+    range-partition on the total order, sort within partitions, compute
+    per-partition offsets from a tiny counts job, seq = offset + local
+    row_number. seq equals the global rank regardless of where the sampled
+    range boundaries fall, so determinism (risk R2) is preserved.
+    """
+    spark = survivors.sparkSession
+    if cap <= 20_000:
+        capped = survivors.orderBy(*order).limit(cap)
+        wseq = Window.orderBy(*order)
+        return capped.withColumn("seq", (F.row_number().over(wseq) - 1).cast("int"))
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s = (
+        survivors.repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(s)
+    sizes = {r["__pid"]: r["c"] for r in s.groupBy("__pid").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order)
+    ranked = s.join(F.broadcast(off_df), "__pid").withColumn(
+        "seq", (F.col("__off") + F.row_number().over(w) - 1).cast("int")
+    )
+    return ranked.where(F.col("seq") < cap).drop("__pid", "__off")
+
+
+def dequeue(
+    frontier: DataFrame,
+    host_state: DataFrame,
+    policy: CrawlPolicy,
+    refill: bool,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """Politeness-budgeted, skew-salted priority dequeue (O1/O2/W1/A7).
 
     Returns frontier columns + ``seq`` (dequeue position within the round).
@@ -218,14 +264,9 @@ def dequeue(frontier: DataFrame, host_state: DataFrame, policy: CrawlPolicy, ref
     # phase 2: exact per-host prefix over the ≤ SALT_N×budget survivors
     w2 = Window.partitionBy("host").orderBy(*order)
     phase2 = phase1.withColumn("rn2", F.row_number().over(w2)).where(F.col("rn2") <= F.col("budget"))
-    # global round cap: distributed top-K (TakeOrderedAndProject), then the
-    # seq window runs over only K rows.
-    capped = phase2.orderBy(*order).limit(policy.max_urls_per_round)
-    wseq = Window.orderBy(*order)
-    return (
-        capped.withColumn("seq", (F.row_number().over(wseq) - 1).cast("int"))
-        .select(*[f.name for f in FRONTIER_SCHEMA.fields], "seq")
-    )
+    # global round cap + seq assignment (distributed for large caps)
+    ranked = _global_rank_cap(phase2, order, policy.max_urls_per_round, cache_registry)
+    return ranked.select(*[f.name for f in FRONTIER_SCHEMA.fields], "seq")
 
 
 def run_round(
@@ -257,8 +298,9 @@ def run_round(
     # executors could not help (measured: local[8] beat local[32] before
     # this). seq is already assigned, so spreading by url_hash is free.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cached: list[DataFrame] = []
     selected = (
-        dequeue(frontier, host_state, policy, refill=round_no > 0)
+        dequeue(frontier, host_state, policy, refill=round_no > 0, cache_registry=cached)
         .repartition(n_part, F.col("url_hash"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -313,7 +355,7 @@ def run_round(
     new_bloom = bloom_insert(
         bloom, selected.select("url_hash"), policy.bloom_buckets, policy.bloom_m_bits
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cached = [selected, fetched, new_bloom]
+    cached += [selected, fetched, new_bloom]
     if policy.use_bloom:
         # inline dedup_with_bloom with the tagged split persisted: the
         # bucket-cogroup membership test runs once, not once per branch
@@ -340,5 +382,6 @@ def run_round(
         "documents": documents,
         "crawl_log": crawl_log,
         "selected_count": selected,  # caller may count for the empty-round gate
+        "fetched": fetched,
         "_cached": cached,  # caller unpersists after commit
     }

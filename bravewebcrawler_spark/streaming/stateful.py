@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The crawl engine's host token-bucket is batch state (plans/round.py); this is
+the genuinely-streaming form of per-key state the north rule's streaming
+surface calls for: a running per-user aggregate (event count, value sum, max)
+maintained across micro-batches with explicit GroupState — the pattern that
+would carry per-host politeness state in a continuous (non-round) crawler.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bravewebcrawler_spark.streaming.events import EVENTS_SCHEMA
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("m", T.DoubleType()),
+    ]
+)
+
+
+def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        if len(pdf):
+            m = max(m, float(pdf["value"].max()))
+    state.update((n, s, m))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "sum_value": [s], "max_value": [m]})
+
+
+def running_user_stats_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_stateful_to_memory(spark: SparkSession, events_path: str, name: str = "stateful_out") -> DataFrame:
+    q = (
+        running_user_stats_stream(spark, events_path)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode emits one row per key per batch; the LAST emission per key
+    # is the final running value (single finite source => one batch here,
+    # but dedupe defensively by taking max n_events per key)
+    out = spark.sql(f"select * from {name}")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return out.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")

@@ -22,3 +22,34 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert batch == stream
     assert len(batch) > 10
+
+
+def test_stateful_running_stats(spark, sf_dir, tmp_path):
+    """applyInPandasWithState per-key state equals the batch aggregate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bravewebcrawler_spark.streaming.stateful import run_stateful_to_memory
+
+    os.symlink(f"{sf_dir}/events.parquet", tmp_path / "part-0.parquet")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6), r["max_value"])
+        for r in run_stateful_to_memory(spark, str(tmp_path), name="t_stateful").collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], round(r["s"], 6), r["m"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"), F.max("value").alias("m"))
+        .collect()
+    }
+    assert got.keys() == expect.keys()
+    mismatches = {
+        u: (got[u], expect[u])
+        for u in got
+        if got[u][0] != expect[u][0]
+        or abs(got[u][1] - expect[u][1]) > 1e-6
+        or got[u][2] != expect[u][2]
+    }
+    assert not mismatches, list(mismatches.items())[:3]
