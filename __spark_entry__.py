@@ -518,6 +518,20 @@ def o3_source_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f15_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 schema'd JSON parse with decode-error taxonomy
+    (brave_processor.py:156-177: malformed agent JSON → status row, kept)."""
+    ev = _t(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 11 == 0, F.substring("props", 1, 3)).otherwise(F.col("props"))
+    parsed = F.from_json(raw, "k int")
+    status = F.when(parsed["k"].isNull(), F.lit("AGENT_JSON_DECODE_ERROR")).otherwise(F.lit("OK"))
+    return (
+        ev.select(parsed["k"].alias("k"), status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
 def metrics_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-round metrics rollup shape (SURVEY §2.10: cube over round/host →
     here cube over status/priority): subtotals at every grouping level."""
@@ -624,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_host_match": p3_host_match,
         "o3_source_cascade": o3_source_cascade,
         "f12_digit_extraction": f12_digit_extraction,
+        "f15_json_decode": f15_json_decode,
         "metrics_cube": metrics_cube,
     }
 
@@ -961,6 +976,15 @@ def oracle_sql() -> dict[str, str]:
                         when p1 is not null then 'finished'
                         else 'pending' end as source_of_price
             from s0 full join s1 using (custkey) full join s2 using (custkey)
+        """,
+        "f15_json_decode": """
+            select status, count(*) as n, round(avg(k), 4) as avg_k from (
+              select case when json_valid(raw) then cast(json_extract_string(raw, '$.k') as integer) end as k,
+                     case when json_valid(raw) and json_extract_string(raw, '$.k') is not null
+                          then 'OK' else 'AGENT_JSON_DECODE_ERROR' end as status
+              from (select case when event_id % 11 = 0 then substring(props, 1, 3) else props end as raw
+                    from events))
+            group by status
         """,
         "metrics_cube": """
             select coalesce(o_orderstatus, 'ALL') as status,

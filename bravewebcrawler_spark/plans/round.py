@@ -137,10 +137,9 @@ def admit_candidates(raw_urls: DataFrame, depth_col: str, round_no: int, robots:
             F.concat(F.lit(f"r{round_no}:p"), F.spark_partition_id().cast("string")),
         )
     )
-    c = c.join(F.broadcast(robots), "host", "left").where(
-        F.col("disallow_prefixes").isNull()
-        | ~F.exists(F.col("disallow_prefixes"), lambda p: F.col("path").startswith(p))
-    )
+    from bravewebcrawler_spark.operators.politeness import robots_allowed
+
+    c = robots_allowed(c, robots)
     return c.select([f.name for f in FRONTIER_SCHEMA.fields])
 
 
@@ -249,11 +248,10 @@ def dequeue(
 
     Returns frontier columns + ``seq`` (dequeue position within the round).
     """
-    tokens = F.coalesce(F.col("tokens"), F.lit(policy.capacity))
-    if refill:
-        tokens = F.least(F.lit(policy.capacity), tokens + F.lit(policy.rate))
+    from bravewebcrawler_spark.operators.politeness import host_budget
+
     budgeted = frontier.join(host_state, "host", "left").withColumn(
-        "budget", F.floor(tokens).cast("int")
+        "budget", host_budget(policy, refill)
     )
 
     order = [F.col("priority").desc(), F.col("depth").asc(), F.col("url_hash").asc(), F.col("url_canon").asc()]
@@ -323,17 +321,10 @@ def run_round(
     )
 
     # token accounting: refill (rounds>0), then subtract this round's spend
-    tokens0 = F.coalesce(F.col("tokens"), F.lit(policy.capacity))
-    if round_no > 0:
-        tokens0 = F.least(F.lit(policy.capacity), tokens0 + F.lit(policy.rate))
+    from bravewebcrawler_spark.operators.politeness import spend_tokens
+
     spends = selected.groupBy("host").agg(F.count("*").cast("double").alias("spent"))
-    new_host_state = (
-        host_state.join(spends, "host", "full")
-        .select(
-            "host",
-            (tokens0 - F.coalesce(F.col("spent"), F.lit(0.0))).alias("tokens"),
-        )
-    )
+    new_host_state = spend_tokens(host_state, spends, policy, refill=round_no > 0)
 
     discovered_raw = (
         fetched.select("depth", F.explode_outer("outlinks").alias("url"))
