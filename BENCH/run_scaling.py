@@ -81,8 +81,8 @@ def main() -> None:
     md = f"""# BENCH/BASELINE — crawl throughput + scaling efficiency
 
 North-rule metric: URLs fetched+deduped per second over a synthetic frontier
-(fixed seed list; SynthWeb seed=42, 20 000 hosts x 300 pages, weight=12 pages
-(~40 paragraphs + media + ~37 links each), politeness capacity=rate=40,
+(fixed seed list; SynthWeb seed=42, 20 000 hosts x 300 pages, weight=16 pages
+(~50 paragraphs + media + ~50 links each), politeness capacity=rate=40,
 2 rounds, 250k-URL round cap, bloom seen-set on). Identical job + identical
 input at each parallelism level, fresh JVM per run (BENCH/run_scaling.py).
 
