@@ -429,6 +429,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10, n_planes=8)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10)
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload byte length + mime partitioning stats
     (decode itself is the stubbed mapInPandas pass, tested in pytest)."""
@@ -632,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": embed_neardup,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "multimodal_meta": multimodal_meta,
         "stream_window_counts": stream_window_counts,
         "p6_relevance_precheck": p6_relevance_precheck,
@@ -899,6 +906,34 @@ def oracle_sql() -> dict[str, str]:
             ranked as (select query_id, neighbor_id, cos_raw,
                          row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
                        from scored)
+            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) as cosine
+            from ranked where rnk <= 10
+        """,
+        "ann_ivf_topk": f"""
+            with cents as (select vec_id as cent_id, embedding::DOUBLE[] as centv from embeddings where vec_id < 16),
+            corp as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings),
+            assign as (select neighbor_id, cv, cent_id,
+                         {_SQL_DOT.format(a="cv", b="centv")}
+                         / (sqrt({_SQL_DOT.format(a="cv", b="cv")}) * sqrt({_SQL_DOT.format(a="centv", b="centv")})) as cos_c
+                       from corp cross join cents),
+            cells as (select neighbor_id, cv, cent_id as cell from (
+                        select *, row_number() over (partition by neighbor_id order by cos_c desc, cent_id asc) as rn
+                        from assign) where rn = 1),
+            q as (select vec_id as query_id, embedding::DOUBLE[] as qv from embeddings where vec_id < 5),
+            qassign as (select query_id, qv, cent_id,
+                          {_SQL_DOT.format(a="qv", b="centv")}
+                          / (sqrt({_SQL_DOT.format(a="qv", b="qv")}) * sqrt({_SQL_DOT.format(a="centv", b="centv")})) as cos_c
+                        from q cross join cents),
+            probes as (select query_id, qv, cent_id as cell from (
+                         select *, row_number() over (partition by query_id order by cos_c desc, cent_id asc) as rn
+                         from qassign) where rn <= 4),
+            cand as (select query_id, neighbor_id,
+                       {_SQL_DOT.format(a="qv", b="cv")}
+                       / (sqrt({_SQL_DOT.format(a="qv", b="qv")}) * sqrt({_SQL_DOT.format(a="cv", b="cv")})) as cos_raw
+                     from probes join cells using (cell) where query_id <> neighbor_id),
+            ranked as (select query_id, neighbor_id, cos_raw,
+                         row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
+                       from cand)
             select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) as cosine
             from ranked where rnk <= 10
         """,

@@ -61,6 +61,51 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, q_id: str, q_vec: str, c_id: str, c_vec: str,
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells, probe
+    the closest cells per query, exact re-rank inside.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors (deterministic
+    stand-in for a k-means codebook — the operator shape, not the training,
+    is what matters here). At 10^10 vectors the cell id is a write-time
+    partition key: a query touches n_probe partitions instead of the corpus.
+    """
+    cents = corpus.where(F.col(c_id) < n_centroids).select(
+        F.col(c_id).alias("cent_id"), F.col(c_vec).alias("centv")
+    )
+    cos_order = [F.col("cos_c").desc(), F.col("cent_id").asc()]
+
+    assign = (
+        corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+        .crossJoin(F.broadcast(cents))
+        .select("neighbor_id", "cv", "cent_id", cosine_col(F.col("cv"), F.col("centv")).alias("cos_c"))
+    )
+    cells = top_k_per_key(assign, ["neighbor_id"], cos_order, 1, rank_name="r").select(
+        "neighbor_id", "cv", F.col("cent_id").alias("cell")
+    )
+
+    qprobe = (
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", cosine_col(F.col("qv"), F.col("centv")).alias("cos_c"))
+    )
+    probes = top_k_per_key(qprobe, ["query_id"], cos_order, n_probe, rank_name="r").select(
+        "query_id", "qv", F.col("cent_id").alias("cell")
+    )
+
+    cand = probes.join(cells, "cell").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id", cosine_col(F.col("qv"), F.col("cv")).alias("cos_raw"))
+    top = top_k_per_key(
+        scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("cos_raw", 4).alias("cosine")
+    )
+
+
 def hyperplane_sign_bucket(vec: Column, n_planes: int = 8) -> Column:
     """LSH bucket id: sign pattern of the vector against n deterministic
     pseudo-random hyperplanes. Plane p's weight for dimension i is derived
