@@ -710,11 +710,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f_regex_battery": _BATTERY_SQL,
         "a2_missing_counts": f"""
-            select sum(case when che_id is null or che_id = '' or che_id = 'null' then 1 else 0 end) as missing_che_id,
-                   sum(case when phone is null or phone = '' or phone = 'null' then 1 else 0 end) as missing_phone,
-                   sum(case when email is null or email = '' or email = 'null' then 1 else 0 end) as missing_email,
-                   sum(case when founded is null or founded = '' or founded = 'null' then 1 else 0 end) as missing_founded,
-                   sum(case when address is null or address = '' or address = 'null' then 1 else 0 end) as missing_address
+            select cast(sum(case when che_id is null or che_id = '' or che_id = 'null' then 1 else 0 end) as bigint) as missing_che_id,
+                   cast(sum(case when phone is null or phone = '' or phone = 'null' then 1 else 0 end) as bigint) as missing_phone,
+                   cast(sum(case when email is null or email = '' or email = 'null' then 1 else 0 end) as bigint) as missing_email,
+                   cast(sum(case when founded is null or founded = '' or founded = 'null' then 1 else 0 end) as bigint) as missing_founded,
+                   cast(sum(case when address is null or address = '' or address = 'null' then 1 else 0 end) as bigint) as missing_address
             from ({_BATTERY_SQL})
         """,
         "a1_coalesce_merge": """
@@ -743,13 +743,13 @@ def oracle_sql() -> dict[str, str]:
               from events) where rn <= 3
         """,
         "w3_running_metrics": """
-            select order_date, n, sum(n) over (order by order_date
-                     rows between unbounded preceding and current row) as cum_n
+            select order_date, n, cast(sum(n) over (order by order_date
+                     rows between unbounded preceding and current row) as bigint) as cum_n
             from (select cast(o_orderdate as date) as order_date, count(*) as n
                   from orders group by 1)
         """,
         "sessionization": """
-            select user_id, sum(new_sess) as n_sessions, count(*) as n_events from (
+            select user_id, cast(sum(new_sess) as bigint) as n_sessions, count(*) as n_events from (
               select user_id,
                      case when lag(ts) over w is null
                                or epoch(ts - lag(ts) over w) > 1800 then 1 else 0 end as new_sess
@@ -832,9 +832,9 @@ def oracle_sql() -> dict[str, str]:
                                     t -> cast(('0x' || substr(md5(t), 1, 15)) as bigint)) as hv
                    from corpus),
             sh as (select doc,
-                     list_sum(list_transform(range(0, 16), b ->
+                     cast(list_sum(list_transform(range(0, 16), b ->
                        case when list_sum(list_transform(hv, h -> ((h >> b) & 1) * 2 - 1)) > 0
-                            then (cast(1 as bigint) << b) else cast(0 as bigint) end)) as simhash
+                            then (cast(1 as bigint) << b) else cast(0 as bigint) end)) as bigint) as simhash
                    from hs)
             select simhash, count(*) as n_docs, min(doc) as keeper_id
             from sh group by 1 having count(*) > 1

@@ -37,9 +37,11 @@ def normalize(rows: list[tuple], cols: list[str]) -> tuple[list[str], list[tuple
                 v = round(v, 9)
                 if v == -0.0:
                     v = 0.0
-            vals.append(v)
+            # Type-sensitive like the driver's value hash: a DuckDB HUGEINT
+            # (arrow decimal -> Decimal) must NOT silently equal a Spark bigint.
+            vals.append((type(v).__name__, v if isinstance(v, float) else str(v)))
         out.append(tuple(vals))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=lambda t: tuple((x[1] is None, str(x[1])) for x in t))
     return [cols[i] for i in order], out
 
 
@@ -50,7 +52,11 @@ def compare(name: str, spark_df, sql: str, con) -> list[str]:
     try:
         dres = con.sql(sql)
         dcols = list(dres.columns)
-        drows = [tuple(r) for r in dres.fetchall()]
+        # Fetch via Arrow so DuckDB HUGEINT surfaces as Decimal (type-visible),
+        # matching how the driver's type-sensitive value hash sees it.
+        tbl = dres.arrow()
+        dcolumns = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        drows = list(zip(*dcolumns)) if dcolumns else []
     except Exception as e:  # noqa: BLE001
         return [f"{name}: ORACLE SQL ERROR: {e}"]
     if sorted(scols) != sorted(dcols):
