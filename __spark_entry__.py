@@ -417,21 +417,28 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("cosine") >= 0.99)
 
 
+# 300 queries, not 5: at 5 queries the whole ANN suite is plan/codegen fixed
+# cost and the brute-force baseline can never lose — 300 makes the bench
+# measure the asymptotics the operators exist for (brute = |Q|x|corpus|
+# cosines, LSH = one bucketing pass + per-bucket joins).
+ANN_N_QUERIES = 300
+
+
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 5)
+    queries_df = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     return SIM.brute_force_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 5)
+    queries_df = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     return SIM.lsh_bucketed_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10, n_planes=8)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 5)
+    queries_df = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     return SIM.ivf_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10)
 
 
@@ -576,7 +583,7 @@ _SQL_DOT = (
     "list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
 )
 _SQL_EMB_CORPUS = """
-with base as (select vec_id, embedding::DOUBLE[] as v from embeddings where vec_id < 150),
+with base as (select vec_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as v from embeddings where vec_id < 150),
 corpus as (
   select vec_id, v from base
   union all
@@ -882,8 +889,8 @@ def oracle_sql() -> dict[str, str]:
             where cosine >= 0.99
         """,
         "ann_brute_topk": f"""
-            with q as (select vec_id as query_id, embedding::DOUBLE[] as qv from embeddings where vec_id < 5),
-            c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings),
+            with q as (select vec_id as query_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as qv from embeddings where vec_id < {ANN_N_QUERIES}),
+            c as (select vec_id as neighbor_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as cv from embeddings),
             scored as (select query_id, neighbor_id,
                          {_SQL_DOT.format(a="qv", b="cv")}
                          / (sqrt({_SQL_DOT.format(a="qv", b="qv")}) * sqrt({_SQL_DOT.format(a="cv", b="cv")})) as cos_raw
@@ -895,8 +902,8 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rnk <= 10
         """,
         "ann_lsh_topk": f"""
-            with qraw as (select vec_id, embedding::DOUBLE[] as v from embeddings where vec_id < 5),
-            craw as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            with qraw as (select vec_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as v from embeddings where vec_id < {ANN_N_QUERIES}),
+            craw as (select vec_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as v from embeddings),
             q as (select vec_id as query_id, v as qv, {_sql_bucket("v")} as bucket from qraw),
             c as (select vec_id as neighbor_id, v as cv, {_sql_bucket("v")} as bucket from craw),
             scored as (select query_id, neighbor_id,
@@ -910,8 +917,8 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rnk <= 10
         """,
         "ann_ivf_topk": f"""
-            with cents as (select vec_id as cent_id, embedding::DOUBLE[] as centv from embeddings where vec_id < 16),
-            corp as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings),
+            with cents as (select vec_id as cent_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as centv from embeddings where vec_id < 16),
+            corp as (select vec_id as neighbor_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as cv from embeddings),
             assign as (select neighbor_id, cv, cent_id,
                          {_SQL_DOT.format(a="cv", b="centv")}
                          / (sqrt({_SQL_DOT.format(a="cv", b="cv")}) * sqrt({_SQL_DOT.format(a="centv", b="centv")})) as cos_c
@@ -919,7 +926,7 @@ def oracle_sql() -> dict[str, str]:
             cells as (select neighbor_id, cv, cent_id as cell from (
                         select *, row_number() over (partition by neighbor_id order by cos_c desc, cent_id asc) as rn
                         from assign) where rn = 1),
-            q as (select vec_id as query_id, embedding::DOUBLE[] as qv from embeddings where vec_id < 5),
+            q as (select vec_id as query_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as qv from embeddings where vec_id < {ANN_N_QUERIES}),
             qassign as (select query_id, qv, cent_id,
                           {_SQL_DOT.format(a="qv", b="centv")}
                           / (sqrt({_SQL_DOT.format(a="qv", b="qv")}) * sqrt({_SQL_DOT.format(a="centv", b="centv")})) as cos_c

@@ -57,11 +57,16 @@ def bench_crawl(spark) -> dict:
     from bravewebcrawler_spark.sources.synthweb import SynthWeb
 
     web = SynthWeb(seed=42, n_hosts=20000, pages_per_host=300, hot_hosts=10, weight=16)
+    # bloom sized to the workload (~600k keys over 2 rounds): 64 buckets x
+    # 2^18 bits = 2 MB total at ~28 bits/key — the previous 1<<24 (128 MB)
+    # made every round's dirty-bucket write and Arrow pass 64x larger than
+    # the key volume justifies. (At 10^10 keys: scale bloom_buckets, keep
+    # ~32 KB/bucket — one Arrow batch per task.)
     policy = CrawlPolicy(
         capacity=40.0, rate=40.0, max_urls_per_round=250000, max_rounds=2,
         max_depth=8,
         use_bloom=os.environ.get("SPARK_GRAFT_BLOOM", "1") == "1",
-        bloom_buckets=64, bloom_m_bits=1 << 24,
+        bloom_buckets=64, bloom_m_bits=1 << 18,
     )
     seeds = spark.createDataFrame(web.seed_urls(60000), "seed_id string, url string")
     # SPARK_GRAFT_STATE_DIR_BASE=/dev/shm/... for scaling runs: a real

@@ -91,6 +91,42 @@ def bloom_insert(bloom: DataFrame, hashes: DataFrame, n_buckets: int, m_bits: in
     return existing.unionByName(tagged_new).groupBy("bucket").applyInPandas(update, BLOOM_SCHEMA)
 
 
+def bloom_insert_delta(
+    bloom: DataFrame, hashes: DataFrame, n_buckets: int, m_bits: int
+) -> tuple[DataFrame, DataFrame]:
+    """Dirty-bucket-only bloom update: ``(updated, full)``.
+
+    ``updated`` holds ONLY the buckets that received hashes this round — the
+    O(delta) rows a round commit writes; ``full`` is ``updated`` unioned with
+    the untouched buckets passing through JVM-side (no Arrow round-trip, no
+    rewrite). ``bloom_insert`` above funnels every existing bucket through
+    applyInPandas each call — correct, but O(total filter bytes) per round,
+    which at a 10^10 frontier is a per-round full-state rewrite.
+    """
+    tagged_new = hashes.select(
+        F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col("url_hash").alias("h"),
+        F.lit(None).cast("binary").alias("filter"),
+    )
+    dirty = tagged_new.select("bucket").distinct()
+    existing = bloom.select("bucket", F.lit(-1).cast("long").alias("h"), "filter")
+    existing_dirty = existing.join(F.broadcast(dirty), "bucket", "left_semi")
+
+    def update(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        filt = np.zeros(m_bits // 8, dtype=np.uint8)
+        for b in pdf["filter"].dropna():
+            filt |= np.frombuffer(bytes(b), dtype=np.uint8)
+        hs = pdf.loc[pdf["h"] >= 0, "h"].to_numpy(dtype=np.int64)
+        if len(hs):
+            _set_bits(filt, _bit_positions(hs, m_bits))
+        return pd.DataFrame({"bucket": [bucket], "filter": [filt.tobytes()]})
+
+    updated = existing_dirty.unionByName(tagged_new).groupBy("bucket").applyInPandas(update, BLOOM_SCHEMA)
+    untouched = bloom.join(F.broadcast(dirty), "bucket", "left_anti")
+    return updated, updated.unionByName(untouched)
+
+
 def bloom_split(
     candidates: DataFrame, bloom: DataFrame, n_buckets: int, m_bits: int, hash_col: str = "url_hash"
 ) -> DataFrame:

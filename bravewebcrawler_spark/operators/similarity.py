@@ -12,6 +12,9 @@ double precision).
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,17 +44,48 @@ def cosine_col(u: Column, v: Column) -> Column:
     return dot_col(u, v) / (norm_col(u) * norm_col(v))
 
 
+def _dot_raw(u: Column, v: Column) -> Column:
+    """Dot product over already-double arrays (no per-pair cast/copy)."""
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the scan side has enough partitions to use the cluster.
+
+    A small local parquet file reads as ONE partition, which would run the
+    whole pairwise scoring in a single task. At real scale the corpus already
+    has many input splits and this is a no-op (the check is plan metadata,
+    not a job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str, out_norm: str) -> DataFrame:
+    """Project (id, double-vector, norm) ONCE per side: computing the norm
+    (and the float->double copy) inside the pairwise cosine would redo both
+    per PAIR — 3x the folds and 2 array allocations per candidate."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        _dbl(F.col(vec_col)).alias(out_vec),
+    ).withColumn(out_norm, F.sqrt(_dot_raw(F.col(out_vec), F.col(out_vec))))
+
+
 def brute_force_topk(
     queries: DataFrame, corpus: DataFrame, q_id: str, q_vec: str, c_id: str, c_vec: str, k: int = 10
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast the (small) query side across
     the corpus — one scan, no shuffle of the corpus — then per-query top-k."""
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv"))
+    q = _normed(queries, q_id, q_vec, "query_id", "__qv", "__qn")
+    c = _spread(_normed(corpus, c_id, c_vec, "neighbor_id", "__cv", "__cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_col(F.col("__qv"), F.col("__cv")).alias("cos_raw"))
+        .select(
+            "query_id", "neighbor_id",
+            (_dot_raw(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias("cos_raw"),
+        )
     )
     top = top_k_per_key(
         scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
@@ -73,31 +107,34 @@ def ivf_topk(
     is what matters here). At 10^10 vectors the cell id is a write-time
     partition key: a query touches n_probe partitions instead of the corpus.
     """
-    cents = corpus.where(F.col(c_id) < n_centroids).select(
-        F.col(c_id).alias("cent_id"), F.col(c_vec).alias("centv")
+    cents = _normed(
+        corpus.where(F.col(c_id) < n_centroids), c_id, c_vec, "cent_id", "centv", "centn"
     )
     cos_order = [F.col("cos_c").desc(), F.col("cent_id").asc()]
 
-    assign = (
-        corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
-        .crossJoin(F.broadcast(cents))
-        .select("neighbor_id", "cv", "cent_id", cosine_col(F.col("cv"), F.col("centv")).alias("cos_c"))
+    c = _spread(_normed(corpus, c_id, c_vec, "neighbor_id", "cv", "cn"))
+    assign = c.crossJoin(F.broadcast(cents)).select(
+        "neighbor_id", "cv", "cn", "cent_id",
+        (_dot_raw(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))).alias("cos_c"),
     )
     cells = top_k_per_key(assign, ["neighbor_id"], cos_order, 1, rank_name="r").select(
-        "neighbor_id", "cv", F.col("cent_id").alias("cell")
+        "neighbor_id", "cv", "cn", F.col("cent_id").alias("cell")
     )
 
-    qprobe = (
-        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cent_id", cosine_col(F.col("qv"), F.col("centv")).alias("cos_c"))
+    q = _normed(queries, q_id, q_vec, "query_id", "qv", "qn")
+    qprobe = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "qn", "cent_id",
+        (_dot_raw(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn"))).alias("cos_c"),
     )
     probes = top_k_per_key(qprobe, ["query_id"], cos_order, n_probe, rank_name="r").select(
-        "query_id", "qv", F.col("cent_id").alias("cell")
+        "query_id", "qv", "qn", F.col("cent_id").alias("cell")
     )
 
     cand = probes.join(cells, "cell").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select("query_id", "neighbor_id", cosine_col(F.col("qv"), F.col("cv")).alias("cos_raw"))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (_dot_raw(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
+    )
     top = top_k_per_key(
         scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
     )
@@ -106,29 +143,51 @@ def ivf_topk(
     )
 
 
-def hyperplane_sign_bucket(vec: Column, n_planes: int = 8) -> Column:
+@lru_cache(maxsize=None)
+def _plane_weights(n_planes: int, n_dims: int) -> tuple[tuple[float, ...], ...]:
+    """Deterministic hyperplane weights: plane p's weight for dimension i is
+    md5("plane{p}:{i}") mapped to [-500, 500] (integer-exact, so the DuckDB
+    oracle reproduces the identical values from the same formula)."""
+    return tuple(
+        tuple(
+            float(int(hashlib.md5(f"plane{p}:{i}".encode()).hexdigest()[:15], 16) % 1001 - 500)
+            for i in range(n_dims)
+        )
+        for p in range(n_planes)
+    )
+
+
+def hyperplane_sign_bucket(vec: Column, n_planes: int = 8, n_dims: int = 64) -> Column:
     """LSH bucket id: sign pattern of the vector against n deterministic
-    pseudo-random hyperplanes. Plane p's weight for dimension i is derived
-    from the portable hash of "p:i" mapped to {-1..1} range (integer-exact
-    construction, so the oracle can reproduce it)."""
-    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    pseudo-random hyperplanes.
 
-    # NB: plain closures, never `lambda i, p=p:` — PySpark's higher-order
-    # functions dispatch on lambda arity, so a defaulted extra parameter
-    # would be bound to the array index column.
-    def weight_fn(p: int):
-        return lambda i: (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"plane{p}:"), i.cast("string"))), 1, 15), 16, 10).cast("long")
-            % F.lit(1001)
-            - 500
-        ).cast("double")
-
-    acc = F.lit(0).cast("long")
+    The weights are CONSTANTS: they are precomputed driver-side (one md5 per
+    (plane, dim), once per process) and enter the plan as literal arrays —
+    the previous formulation re-derived them per ROW via md5+conv inside
+    ``F.transform``, which made the bucketing 3x slower than brute force at
+    sf0.1. ``n_dims`` must match the embedding dimension (the oracle SQL
+    asserts it); a shorter vector would zip_with-pad with nulls and yield a
+    null projection, never a wrong bucket.
+    """
+    W = _plane_weights(n_planes, n_dims)
+    # One traversal of the vector for ALL planes: dim i contributes an
+    # n_planes-vector of partial products, folded into an n_planes-vector
+    # accumulator. Per plane the fold order over dims is unchanged
+    # (((0 + x0*w0) + x1*w1) + ...), so projections are bit-identical to the
+    # per-plane formulation and the DuckDB oracle. The transposed matrix
+    # enters the plan as ONE nested-array Literal node — a per-element
+    # F.array(F.lit(...)) build is ~600 expression nodes whose analysis +
+    # codegen dominated the whole query at small scale.
+    wlit = F.lit([[W[p][i] for p in range(n_planes)] for i in range(n_dims)])
+    projs = F.aggregate(
+        F.zip_with(_dbl(vec), wlit, lambda x, ws: F.transform(ws, lambda w: x * w)),
+        F.array(*([F.lit(0.0)] * n_planes)),
+        lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
+    )
+    bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        w = F.zip_with(_dbl(vec), F.transform(dims, weight_fn(p)), lambda x, h: x * h)
-        proj = F.aggregate(w, F.lit(0.0), lambda a, x: a + x)
-        acc = acc + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return acc
+        bucket = bucket + F.when(F.element_at(projs, p + 1) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
 
 
 def lsh_bucketed_topk(
@@ -142,17 +201,16 @@ def lsh_bucketed_topk(
     8-bit bucket id. Recall is traded for the 2^n_planes fan-in reduction;
     multi-probe (flip one bit) would raise recall at 9x the probes.
     """
-    qb = queries.select(
-        F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
-        hyperplane_sign_bucket(F.col(q_vec), n_planes).alias("bucket"),
+    qb = _normed(queries, q_id, q_vec, "query_id", "qv", "qn").withColumn(
+        "bucket", hyperplane_sign_bucket(F.col("qv"), n_planes)
     )
-    cb = corpus.select(
-        F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
-        hyperplane_sign_bucket(F.col(c_vec), n_planes).alias("bucket"),
+    cb = _spread(_normed(corpus, c_id, c_vec, "neighbor_id", "cv", "cn")).withColumn(
+        "bucket", hyperplane_sign_bucket(F.col("cv"), n_planes)
     )
     j = cb.join(F.broadcast(qb), "bucket").where(F.col("query_id") != F.col("neighbor_id"))
     scored = j.select(
-        "query_id", "neighbor_id", cosine_col(F.col("qv"), F.col("cv")).alias("cos_raw")
+        "query_id", "neighbor_id",
+        (_dot_raw(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
     )
     top = top_k_per_key(
         scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"

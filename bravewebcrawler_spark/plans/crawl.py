@@ -91,11 +91,15 @@ def crawl(
 
     robots = robots_df(spark, web)
     start_round = 0
+    seen_size = 0
+    base_round = 0
     last = ckpt.latest_round(state_dir) if resume else None
     if last is not None:
         state = ckpt.load_state(spark, state_dir, last)
         frontier, seen, host_state = state["frontier"], state["seen"], state["host_state"]
         bloom = state["bloom"]
+        seen_size = ckpt.load_metrics(state_dir, last)["seen_size"]
+        base_round = ckpt.load_base_round(state_dir, last)
         start_round = last + 1
     else:
         st = initial_state(spark, web, seeds, policy)
@@ -105,57 +109,91 @@ def crawl(
         st["dead_letter"].write.mode("overwrite").parquet(os.path.join(state_dir, "dead_letter"))
 
     total_fetched = 0
+    debug = os.environ.get("BWC_DEBUG_TIMING", "") == "1"
     for rnd in range(start_round, policy.max_rounds):
         t0 = time.time()
         out = run_round(spark, web, frontier, seen, host_state, robots, policy, rnd, bloom)
-        # Materialize round outputs; state for round rnd is committed atomically.
+        # Warm + metrics FUSED into two jobs (was ~6): job 1 materializes the
+        # selected+fetched caches while computing both counts in one pass;
+        # job 2 (discovered.count) materializes bloom_delta → tagged →
+        # discovered in dependency order. Serial on purpose: Spark does not
+        # dedupe in-flight computation of a persisted partition, so parallel
+        # jobs over a cold cache would each recompute the dequeue+fetch chain
+        # (measured: 3x CPU + GC storm at local[32]).
+        t_warm = time.time()
+        counts = out["fetched"].agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("status") == "FETCHED_OK").alias("ok"),
+        ).first()
+        dequeued, fetched_ok = counts["n"], counts["ok"]
+        out["discovered"].count()
+        if debug:
+            print(
+                f"  round {rnd} warm+counts in {time.time() - t_warm:6.2f}s "
+                f"(abs {time.time():.2f}, t0+{time.time() - t0:.2f})",
+                flush=True,
+            )
+
+        # Commit O(delta): seen/bloom/frontier deltas every round; a full
+        # frontier+bloom snapshot every compact_every rounds bounds both the
+        # reconstruction read fan-in and the lazy cross-round plan depth.
+        is_compaction = rnd % max(policy.compact_every, 1) == 0
         tables = {
-            "frontier": out["frontier"],
-            "seen": out["seen"],
+            "seen": out["seen_delta"],
             "host_state": out["host_state"],
-            "bloom": out["bloom"],
             "documents": out["documents"],
             "crawl_log": out["crawl_log"],
         }
-        # Materialize the round's cached intermediates ONCE, in dependency
-        # order, BEFORE the concurrent writes: Spark does not dedupe
-        # in-flight computations of a persisted partition, so three parallel
-        # write jobs hitting a cold cache would each recompute the dequeue +
-        # fetch chain (measured: 3x CPU + GC storm at local[32]).
-        debug = os.environ.get("BWC_DEBUG_TIMING", "") == "1"
-        t_warm = time.time()
-        for df in out["_cached"]:
-            df.count()
-        if debug:
-            print(f"  round {rnd} cache warm in {time.time() - t_warm:6.2f}s", flush=True)
+        if is_compaction:
+            base_round = rnd
+            tables["frontier"] = out["frontier"]
+            tables["bloom"] = out["bloom"].withColumn("round", F.lit(rnd))
+        else:
+            tables["frontier_delta"] = out["frontier_delta"]
+            tables["bloom_delta"] = out["bloom_delta"].withColumn("round", F.lit(rnd))
         rd = ckpt.write_tables(state_dir, rnd, tables)
         if debug:
             print(f"  round {rnd} writes done at {time.time() - t0:6.2f}s", flush=True)
-        # metrics from the warm cache (no parquet re-reads); frontier/seen
-        # sizes from parquet metadata (row-group stats, no data scan)
-        fetched = out["fetched"]
-        dequeued = out["selected_count"].count()
-        fetched_ok = fetched.where(F.col("status") == "FETCHED_OK").count()
+
+        frontier_size = (
+            spark.read.parquet(os.path.join(rd, "frontier")).count()
+            if is_compaction
+            else out["frontier"].count()
+        )
+        seen_size += dequeued
         metrics = ckpt.RoundMetrics(
             round_no=rnd,
             dequeued=dequeued,
             fetched_ok=fetched_ok,
-            frontier_size=spark.read.parquet(os.path.join(rd, "frontier")).count(),
-            seen_size=spark.read.parquet(os.path.join(rd, "seen")).count(),
+            frontier_size=frontier_size,
+            seen_size=seen_size,
             wall_s=time.time() - t0,
         )
         # tables already written: publish manifest atomically (commit point)
-        ckpt.publish_manifest(state_dir, rnd, metrics)
+        ckpt.publish_manifest(state_dir, rnd, metrics, base_round)
         for df in out["_cached"]:
             df.unpersist()
         if debug:
             print(f"  round {rnd}: dequeued={dequeued} total={time.time() - t0:6.2f}s", flush=True)
         total_fetched += dequeued
-        # reload committed state => bounded lineage across rounds
-        frontier = spark.read.parquet(os.path.join(rd, "frontier"))
-        seen = spark.read.parquet(os.path.join(rd, "seen"))
+        # Next-round state from COMMITTED parquet (bounded lineage, O(delta)
+        # reads): the frontier chains one broadcast-filtered delta per round
+        # onto the last full snapshot — identical to load_frontier's
+        # reconstruction, applied incrementally.
+        seen = ckpt.load_seen(spark, state_dir, rnd)
         host_state = spark.read.parquet(os.path.join(rd, "host_state"))
-        bloom = spark.read.parquet(os.path.join(rd, "bloom"))
+        if is_compaction:
+            frontier = spark.read.parquet(os.path.join(rd, "frontier"))
+            bloom = spark.read.parquet(os.path.join(rd, "bloom")).select("bucket", "filter")
+        else:
+            fdelta = spark.read.parquet(os.path.join(rd, "frontier_delta"))
+            removed = spark.read.parquet(os.path.join(rd, "seen")).select("url_hash")
+            frontier = (
+                frontier.join(F.broadcast(removed), "url_hash", "left_anti")
+                .join(F.broadcast(fdelta.select("url_hash")), "url_hash", "left_anti")
+                .unionByName(fdelta)
+            )
+            bloom = ckpt.load_bloom(spark, state_dir, base_round, rnd)
         if dequeued == 0:
             break
         if stop_after_round is not None and rnd >= stop_after_round:

@@ -43,6 +43,9 @@ class CrawlPolicy:
     use_bloom: bool = False
     bloom_buckets: int = 64
     bloom_m_bits: int = 1 << 16
+    # full frontier/bloom snapshot every N rounds (rounds in between commit
+    # O(delta) only); bounds both resume read fan-in and cross-round plan depth
+    compact_every: int = 4
 
 
 def priority_py(host: str, path: str, depth: int) -> float:

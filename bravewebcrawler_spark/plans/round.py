@@ -222,6 +222,12 @@ def _global_rank_cap(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    # The persist is CORRECTNESS, not just perf: repartitionByRange samples
+    # its range boundaries per execution, so without it the sizes job below
+    # and the final consumer could place rows in different __pid partitions
+    # and the offsets would be wrong (caught by test_global_rank_cap_large_
+    # path). Callers pass cache_registry to unpersist after the round; for
+    # direct callers a GC finalizer releases the cache instead of leaking it.
     if cache_registry is not None:
         cache_registry.append(s)
     sizes = {r["__pid"]: r["c"] for r in s.groupBy("__pid").agg(F.count("*").alias("c")).collect()}
@@ -234,7 +240,18 @@ def _global_rank_cap(
     ranked = s.join(F.broadcast(off_df), "__pid").withColumn(
         "seq", (F.col("__off") + F.row_number().over(w) - 1).cast("int")
     )
-    return ranked.where(F.col("seq") < cap).drop("__pid", "__off")
+    result = ranked.where(F.col("seq") < cap).drop("__pid", "__off")
+    if cache_registry is None:
+        import weakref
+
+        def _release(sdf=s):
+            try:
+                sdf.unpersist()
+            except Exception:  # noqa: BLE001 — interpreter/JVM teardown
+                pass
+
+        weakref.finalize(result, _release)
+    return result
 
 
 def dequeue(
@@ -278,10 +295,28 @@ def run_round(
     round_no: int,
     bloom: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Execute one round; returns the new state + round outputs (all lazy)."""
+    """Execute one round; returns O(delta) state updates + round outputs.
+
+    Commit-size contract (the 10^10-frontier design): everything a round
+    WRITES is bounded by the round, not by total state —
+      * ``seen_delta``      — this round's selected keys only,
+      * ``bloom_delta``     — only buckets that received hashes,
+      * ``frontier_delta``  — only rows whose key was (re)discovered this
+        round, min-depth-merged against their current frontier version.
+    The full-state views (``frontier``/``seen``/``bloom``) are lazy unions
+    for in-round consumers and the periodic compaction write; the caller
+    (plans/crawl.py) re-derives next-round state from the committed delta
+    parquet so lineage never chains through a round's cached internals.
+
+    The frontier split is two BROADCAST joins (selected keys <= round cap;
+    discovered keys <= round fan-out), i.e. map-side filters — the frontier
+    itself is never shuffled. At fan-outs where the discovered key set
+    outgrows a broadcast (~100M+ keys/round), flip to a plain shuffle join
+    for that round (AQE) — the commit stays O(delta) either way.
+    """
     from pyspark import StorageLevel
 
-    from bravewebcrawler_spark.operators.seen import bloom_insert, bloom_split, empty_bloom
+    from bravewebcrawler_spark.operators.seen import bloom_insert_delta, bloom_split, empty_bloom
 
     if bloom is None:
         bloom = empty_bloom(spark, policy.bloom_buckets)
@@ -316,9 +351,10 @@ def run_round(
         F.col("url_canon").alias("doc_id"), F.lit(round_no).alias("round"), "spans"
     )
 
-    new_seen = seen.unionByName(
-        selected.select("url_canon", "url_hash", F.lit(round_no).alias("round_seen"))
+    seen_delta = selected.select(
+        "url_canon", "url_hash", F.lit(round_no).alias("round_seen")
     )
+    new_seen = seen.unionByName(seen_delta)
 
     # token accounting: refill (rounds>0), then subtract this round's spend
     from bravewebcrawler_spark.operators.politeness import spend_tokens
@@ -340,13 +376,13 @@ def run_round(
     # J2 dedup: the exact anti-join is always the authority; with use_bloom
     # the bucketed bloom splits candidates so only bloom HITS pay the join
     # against the (large) seen table (operators/seen.py, risk R3).
-    # new_bloom feeds three consumers (both split branches + its own state
-    # write) and discovered feeds two — persist both so the canonicalization
-    # chain and the bucket-update applyInPandas run once per round.
-    new_bloom = bloom_insert(
+    # bloom_delta holds ONLY the dirty buckets (the O(delta) write); the
+    # untouched buckets pass through JVM-side inside new_bloom.
+    bloom_delta, new_bloom = bloom_insert_delta(
         bloom, selected.select("url_hash"), policy.bloom_buckets, policy.bloom_m_bits
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cached += [selected, fetched, new_bloom]
+    )
+    bloom_delta = bloom_delta.persist(StorageLevel.MEMORY_AND_DISK)
+    cached += [selected, fetched, bloom_delta]
     if policy.use_bloom:
         # inline dedup_with_bloom with the tagged split persisted: the
         # bucket-cogroup membership test runs once, not once per branch
@@ -361,18 +397,39 @@ def run_round(
         )
     else:
         discovered = discovered.join(new_seen.select("url_hash"), "url_hash", "left_anti")
+    # discovered feeds three consumers (the touched-keys broadcast below,
+    # frontier_delta, and the warm/metrics count) — persist it so the
+    # explode→canonicalize→dedup chain runs once per round.
+    discovered = discovered.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(discovered)
 
-    remaining = frontier.join(selected.select("url_hash"), "url_hash", "left_anti")
-    new_frontier = merge_frontier(remaining.unionByName(discovered))
+    # O(delta) frontier update: rows selected this round leave; rows whose
+    # key was rediscovered are min-depth-merged with the new discovery; all
+    # other rows are untouched and NEVER shuffled or rewritten. Both key
+    # sets are round-bounded → broadcast (map-side) anti/semi joins.
+    selected_keys = selected.select("url_hash")
+    touched_keys = discovered.select("url_hash")
+    remaining = frontier.join(F.broadcast(selected_keys), "url_hash", "left_anti")
+    touched = remaining.join(F.broadcast(touched_keys), "url_hash", "left_semi")
+    untouched = remaining.join(F.broadcast(touched_keys), "url_hash", "left_anti")
+    frontier_delta = merge_frontier(touched.unionByName(discovered)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached.append(frontier_delta)
+    new_frontier = untouched.unionByName(frontier_delta)
 
     return {
         "frontier": new_frontier,
+        "frontier_delta": frontier_delta,
         "seen": new_seen,
+        "seen_delta": seen_delta,
         "host_state": new_host_state,
         "bloom": new_bloom,
+        "bloom_delta": bloom_delta,
         "documents": documents,
         "crawl_log": crawl_log,
         "selected_count": selected,  # caller may count for the empty-round gate
         "fetched": fetched,
+        "discovered": discovered,
         "_cached": cached,  # caller unpersists after commit
     }
