@@ -164,6 +164,27 @@ def f_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def facts_per_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's end deliverable as one declarative plan
+    (brave_processor.py:231,316-323; google_search.py:72-95): seeds own their
+    documents (seed = doc_id % 200, source tier = doc_id % 3 modelling the
+    brave→google→wikidata cascade), F7-F11 extract per document, per-seed
+    first-non-null merge in (tier, doc_id) order via ONE hash aggregate, and
+    the terminal status taxonomy. See plans/facts.py for the crawl-integrated
+    variant (host-joined to real crawl output, pytest-verified vs the
+    sequential oracle)."""
+    from bravewebcrawler_spark.plans.facts import battery_cols, merge_facts_per_seed
+
+    docs = _t(spark, sf_dir, "documents").withColumn("t2", _facts_text())
+    src = docs.select(
+        (F.col("doc_id") % 200).alias("seed_id"),
+        (F.col("doc_id") % 3).alias("tier"),
+        "doc_id",
+        *battery_cols(F.col("t2")).values(),
+    )
+    return merge_facts_per_seed(src, [F.col("tier"), F.col("doc_id")])
+
+
 def a2_missing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 missing-fields gate (models.py:14-16) over the battery output."""
     battery = f_regex_battery(spark, sf_dir)
@@ -359,9 +380,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(corpus, "doc_id", "text", k=3)
 
 
+def dedup_lsh_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH→exact composition: MinHash band candidates, true Jaccard computed
+    ONLY on candidate pairs — the dedup plan that survives 100 TB."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return DD.lsh_refined_pairs(corpus, "doc_id", "text", k=3, threshold=0.6)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
     return DD.simhash_groups(corpus, "doc_id", "text", bits=16).where(F.col("n_docs") > 1)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming simhash refinement: band equi-join candidates, exact
+    bit_count(xor) <= 2 check on candidates only (pigeonhole-complete)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return DD.simhash_near_pairs(corpus, "doc_id", "text", bits=16, bands=4, max_hamming=2)
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +457,14 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measure the asymptotics the operators exist for (brute = |Q|x|corpus|
 # cosines, LSH = one bucketing pass + per-bucket joins).
 ANN_N_QUERIES = 300
+
+
+def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup (the scale path): hyperplane-bucket once,
+    score within buckets only — retires the all-pairs crossJoin of
+    embed_neardup as the only answer."""
+    corpus = _emb_corpus(spark, sf_dir)
+    return SIM.bucketed_neardup_pairs(corpus, "vec_id", "v", threshold=0.99, n_planes=8)
 
 
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,7 +532,10 @@ def p6_relevance_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevant = F.when(
         F.col("title").isNotNull(), RV.title_relevant_col(F.col("title"), F.col("name"), F.col("domain"))
     ).otherwise(RV.fetch_error_policy_col(F.col("status")))
-    return d.select("doc_id", "status", relevant.alias("relevant"))
+    generic = F.when(F.col("title").isNotNull(), RV.is_generic_title_col(F.col("title"))).otherwise(
+        F.lit(False)
+    )
+    return d.select("doc_id", "status", relevant.alias("relevant"), generic.alias("is_generic"))
 
 
 def p3_host_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,6 +574,56 @@ def o3_source_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_F").isNotNull(), "finished")
         .otherwise("pending")
         .alias("source_of_price"),
+    )
+
+
+def s6_entity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 two-hop external-dimension lookup (search_common.py:290-391: search
+    → QID resolve → claims with rank preference): a text MENTION resolves to
+    an entity via its alias (broadcast dim join, hop 1), then the entity's
+    claims are fetched picking the best-ranked value per property
+    (preferred < normal < deprecated, O6/O7 cascade — hop 2). Entity/claim
+    dims are synthesized deterministically from nation/region; claims carry
+    deliberate deprecated decoys the rank preference must skip."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+
+    entities = nation.select(
+        F.concat(F.lit("Q"), (F.col("n_nationkey") + 100).cast("string")).alias("qid"),
+        F.lower(F.col("n_name")).alias("alias"),
+        F.col("n_nationkey").alias("nk"),
+        F.col("n_regionkey").alias("rk"),
+    )
+    good_rank = F.when(F.col("nk") % 3 == 0, F.lit("preferred")).otherwise(F.lit("normal"))
+    reg = entities.join(F.broadcast(region), F.col("rk") == F.col("r_regionkey"))
+    claims = (
+        reg.select("qid", F.lit("P_region").alias("prop"), F.col("r_name").alias("value"), good_rank.alias("rank"))
+        .unionByName(reg.select("qid", F.lit("P_region").alias("prop"), F.lit("ZZ-UNKNOWN").alias("value"), F.lit("deprecated").alias("rank")))
+        .unionByName(entities.select("qid", F.lit("P_code").alias("prop"), F.concat(F.lit("N"), F.col("nk").cast("string")).alias("value"), good_rank.alias("rank")))
+        .unionByName(entities.select("qid", F.lit("P_code").alias("prop"), F.lit("N-9").alias("value"), F.lit("deprecated").alias("rank")))
+    )
+    ro = (
+        F.when(F.col("rank") == "preferred", F.lit(0))
+        .when(F.col("rank") == "normal", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    # O6 rank preference per (qid, prop) as ONE hash aggregate (min struct)
+    best = claims.groupBy("qid").agg(
+        F.min(F.when(F.col("prop") == "P_region", F.struct(ro.alias("r"), F.col("value").alias("v"))))["v"].alias("region"),
+        F.min(F.when(F.col("prop") == "P_code", F.struct(ro.alias("r"), F.col("value").alias("v"))))["v"].alias("code"),
+    )
+    mentions = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("n_name")).otherwise(F.lower("n_name")).alias("mention"),
+    )
+    resolved = mentions.join(
+        F.broadcast(entities.select("qid", "alias")),
+        F.lower(F.col("mention")) == F.col("alias"),
+        "left",
+    )
+    return resolved.join(F.broadcast(best), "qid", "left").select(
+        "custkey", "mention", "qid", "region", "code"
     )
 
 
@@ -623,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_blacklist_filter": p1_blacklist_filter,
         "p7_status_taxonomy": p7_status_taxonomy,
         "f_regex_battery": f_regex_battery,
+        "facts_per_seed": facts_per_seed,
         "a2_missing_counts": a2_missing_counts,
         "a1_coalesce_merge": a1_coalesce_merge,
         "f16_json_props": f16_json_props,
@@ -637,7 +734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_lsh_refined": dedup_lsh_refined,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "embed_neardup_lsh": embed_neardup_lsh,
         "text_fingerprint": text_fingerprint,
         "text_lang_id": text_lang_id,
         "text_quality": text_quality,
@@ -652,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_host_match": p3_host_match,
         "o3_source_cascade": o3_source_cascade,
         "f12_digit_extraction": f12_digit_extraction,
+        "s6_entity_lookup": s6_entity_lookup,
         "f15_json_decode": f15_json_decode,
         "metrics_cube": metrics_cube,
     }
@@ -724,6 +825,31 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when address is null or address = '' or address = 'null' then 1 else 0 end) as bigint) as missing_address
             from ({_BATTERY_SQL})
         """,
+        "facts_per_seed": f"""
+            with b as ({_BATTERY_SQL}),
+            s as (select doc_id % 200 as seed_id, doc_id % 3 as tier, doc_id,
+                         nullif(che_id, '') as che_id, nullif(phone, '') as phone,
+                         nullif(email, '') as email, nullif(founded, '') as founded,
+                         nullif(address, '') as address
+                  from b),
+            m as (select seed_id,
+                    arg_min(che_id, tier * 100000000 + doc_id) filter (che_id is not null) as che_id,
+                    arg_min(phone, tier * 100000000 + doc_id) filter (phone is not null) as phone,
+                    arg_min(email, tier * 100000000 + doc_id) filter (email is not null) as email,
+                    arg_min(founded, tier * 100000000 + doc_id) filter (founded is not null) as founded,
+                    arg_min(address, tier * 100000000 + doc_id) filter (address is not null) as address,
+                    count(*) as n_docs
+                  from s group by seed_id),
+            g as (select *,
+                    cast(che_id is null as int) + cast(phone is null as int) + cast(email is null as int)
+                    + cast(founded is null as int) + cast(address is null as int) as miss
+                  from m)
+            select seed_id, che_id, phone, email, founded, address, n_docs,
+                   case when miss = 0 then 'ALL_FIELDS_COMPLETE'
+                        when miss = 5 then 'NO_FACTS_EXTRACTED'
+                        else 'PARTIAL_' || cast(miss as varchar) || '_MISSING' end as status
+            from g
+        """,
         "a1_coalesce_merge": """
             with s0 as (select o_custkey as custkey, round(max(o_totalprice),2) as bp from orders where o_orderstatus='O' group by 1),
                  s1 as (select o_custkey as custkey, round(max(o_totalprice),2) as bp from orders where o_orderstatus='F' group by 1),
@@ -762,6 +888,38 @@ def oracle_sql() -> dict[str, str]:
                                or epoch(ts - lag(ts) over w) > 1800 then 1 else 0 end as new_sess
               from events window w as (partition by user_id order by ts, event_id))
             group by user_id
+        """,
+        "s6_entity_lookup": """
+            with entities as (
+              select 'Q' || cast(n_nationkey + 100 as varchar) as qid,
+                     lower(n_name) as alias, n_nationkey as nk, n_regionkey as rk
+              from nation),
+            reg as (select e.*, r_name from entities e join region on rk = r_regionkey),
+            claims as (
+              select qid, 'P_region' as prop, r_name as value,
+                     case when nk % 3 = 0 then 'preferred' else 'normal' end as rnk from reg
+              union all select qid, 'P_region', 'ZZ-UNKNOWN', 'deprecated' from reg
+              union all select qid, 'P_code', 'N' || cast(nk as varchar),
+                     case when nk % 3 = 0 then 'preferred' else 'normal' end from entities
+              union all select qid, 'P_code', 'N-9', 'deprecated' from entities),
+            ranked as (select qid, prop, value,
+                         case rnk when 'preferred' then 0 when 'normal' then 1 else 2 end as ro
+                       from claims),
+            best1 as (select qid, prop, value from (
+                        select qid, prop, value,
+                               row_number() over (partition by qid, prop order by ro, value) as rn
+                        from ranked) where rn = 1),
+            best as (select qid,
+                       max(case when prop = 'P_region' then value end) as region,
+                       max(case when prop = 'P_code' then value end) as code
+                     from best1 group by qid),
+            mention as (select c_custkey as custkey,
+                          case when c_custkey % 2 = 0 then upper(n_name) else lower(n_name) end as mention
+                        from customer join nation on c_nationkey = n_nationkey),
+            res as (select custkey, mention, qid
+                    from mention left join entities on lower(mention) = alias)
+            select custkey, mention, qid, region, code
+            from res left join best using (qid)
         """,
         "q3_shipping": """
             select l_orderkey, cast(o_orderdate as date) as order_date,
@@ -832,6 +990,34 @@ def oracle_sql() -> dict[str, str]:
             from banded a join banded b
               on a.band = b.band and a.band_key = b.band_key and a.doc < b.doc
         """,
+        "dedup_lsh_refined": f"""
+            {_SQL_CORPUS},
+            tk2 as (select doc_id as doc, {DD.sql_shingles('text', 3)} as sh,
+                           list_filter(string_split(text, ' '), t -> t <> '') as toks
+                    from corpus),
+            sig as (select doc,
+                      list_transform(range(0, 16), j ->
+                        list_min(list_transform(sh, s -> (({_SQL_MINHASH_H}) * (2*j+3) + (5*j+7)) % 1000000007))) as sig
+                    from tk2 where len(toks) >= 3),
+            banded as (select doc, b as band,
+                         list_reduce(list_prepend(cast(0 as bigint), list_slice(sig, b*4+1, b*4+4)),
+                                     (acc, v) -> (acc * 31 + v) % 1000000007) as band_key
+                       from sig cross join range(4) t(b)),
+            cand as (select distinct a.doc as id_a, b.doc as id_b
+                     from banded a join banded b
+                       on a.band = b.band and a.band_key = b.band_key and a.doc < b.doc),
+            shg as (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from corpus),
+            sizes as (select doc, count(*) as sz from shg group by 1),
+            inter as (select id_a, id_b, count(*) as n_inter
+                      from cand
+                      join shg a on a.doc = id_a
+                      join shg b2 on b2.doc = id_b and b2.sh = a.sh
+                      group by 1, 2)
+            select id_a, id_b, jaccard from (
+              select id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 4) as jaccard
+              from inter join sizes sa on sa.doc = id_a join sizes sb on sb.doc = id_b)
+            where jaccard >= 0.6
+        """,
         "dedup_simhash": f"""
             {_SQL_CORPUS},
             hs as (select doc_id as doc,
@@ -845,6 +1031,35 @@ def oracle_sql() -> dict[str, str]:
                    from hs)
             select simhash, count(*) as n_docs, min(doc) as keeper_id
             from sh group by 1 having count(*) > 1
+        """,
+        "dedup_simhash_pairs": f"""
+            {_SQL_CORPUS},
+            hs as (select doc_id as doc,
+                     list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                                    t -> cast(('0x' || substr(md5(t), 1, 15)) as bigint)) as hv
+                   from corpus),
+            sh as (select doc,
+                     cast(list_sum(list_transform(range(0, 16), b ->
+                       case when list_sum(list_transform(hv, h -> ((h >> b) & 1) * 2 - 1)) > 0
+                            then (cast(1 as bigint) << b) else cast(0 as bigint) end)) as bigint) as simhash
+                   from hs),
+            banded as (select doc, simhash, b as band, (simhash >> (b * 4)) & 15 as band_key
+                       from sh cross join range(4) t(b)),
+            cand as (select distinct a.doc as id_a, b.doc as id_b,
+                            a.simhash as sh_a, b.simhash as sh_b
+                     from banded a join banded b
+                       on a.band = b.band and a.band_key = b.band_key and a.doc < b.doc)
+            select id_a, id_b, cast(bit_count(xor(sh_a, sh_b)) as int) as hamming
+            from cand where bit_count(xor(sh_a, sh_b)) <= 2
+        """,
+        "embed_neardup_lsh": f"""
+            {_SQL_EMB_CORPUS},
+            bk as (select vec_id, v, norm, {_sql_bucket("v")} as bucket from normed)
+            select id_a, id_b, cosine from (
+              select a.vec_id as id_a, b2.vec_id as id_b,
+                     round({_SQL_DOT.format(a="a.v", b="b2.v")} / (a.norm * b2.norm), 4) as cosine
+              from bk a join bk b2 on a.bucket = b2.bucket and a.vec_id < b2.vec_id)
+            where cosine >= 0.99
         """,
         "text_fingerprint": f"""
             select doc_id, {TX.sql_fingerprint('text')} as fp from documents
@@ -979,9 +1194,7 @@ def oracle_sql() -> dict[str, str]:
                   from d)
             select doc_id, status,
                    case when title is not null then
-                     case when lower(title) in ('home','welcome','startseite','index','homepage','start','hauptseite','website')
-                          then false
-                          else len(list_filter(toks, t -> contains(lower(title), t) or contains(dom, t))) > 0 end
+                     len(list_filter(toks, t -> contains(lower(title), t) or contains(dom, t))) > 0
                    else
                      case when status = 'TIMEOUT' then true
                           when status in ('HTTP_403','HTTP_404') then false
@@ -989,7 +1202,11 @@ def oracle_sql() -> dict[str, str]:
                           when status like 'HTTP\_%' escape '\' then true
                           when status = 'NETWORK_ERROR' then false
                           else true end
-                   end as relevant
+                   end as relevant,
+                   case when title is not null then
+                     len(list_filter(['home','welcome','startseite','index','homepage','start','hauptseite','website','accueil','willkommen','site officiel'],
+                                     w -> contains(lower(title), w))) > 0
+                   else false end as is_generic
             from n
         """,
         "p3_host_match": r"""

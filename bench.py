@@ -40,7 +40,11 @@ HEADLINE = [
     "sessionization",
     "w3_running_metrics",
     "dedup_minhash_lsh",
+    "dedup_lsh_refined",
     "dedup_exact",
+    "facts_per_seed",
+    "embed_neardup_lsh",
+    "s6_entity_lookup",
     "text_fingerprint",
     "text_token_stats",
     "ann_brute_topk",

@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-GENERIC_TITLES = ("home", "welcome", "startseite", "index", "homepage", "start", "hauptseite", "website")
+GENERIC_TITLES = (
+    "home", "welcome", "startseite", "index", "homepage", "start", "hauptseite",
+    "website", "accueil", "willkommen", "site officiel",
+)
 
 
 def normalized_name_col(name: Column) -> Column:
@@ -44,14 +47,34 @@ def host_match_features(name: Column, host: Column) -> dict[str, Column]:
     }
 
 
+def is_generic_title_py(title: str) -> bool:
+    """Python twin of :func:`is_generic_title_col` for the sequential oracle."""
+    t = title.lower()
+    return any(w in t for w in GENERIC_TITLES)
+
+
+def is_generic_title_col(title: Column) -> Column:
+    """F13 generic-title detector — SUBSTRING containment against the
+    reference's word list (search_common.py:425-430: ``'home' in title``). In
+    the reference this only skips a logging shortcut; it never decides
+    relevance, so it is exposed separately from :func:`title_relevant_col`."""
+    t = F.lower(title)
+    hit = F.lit(False)
+    for w in GENERIC_TITLES:
+        hit = hit | F.contains(t, F.lit(w))
+    return hit
+
+
 def title_relevant_col(title: Column, name: Column, domain: Column) -> Column:
-    """Core of P6: token match against title/domain with generic-title guard."""
+    """Core of P6: relevant iff any name token appears in the title OR the
+    ``www.``-stripped domain (search_common.py:430-447). A generic title does
+    NOT flip the verdict — e.g. title 'Home' with a name-matching domain is
+    relevant (the engine previously hard-dropped that case; fixed to match
+    the reference)."""
     toks = name_tokens_col(name)
     t = F.lower(title)
     dom = F.regexp_replace(F.lower(domain), r"^www\.", "")
-    generic = t.isin(*GENERIC_TITLES)
-    any_hit = F.exists(toks, lambda tok: F.contains(t, tok) | F.contains(dom, tok))
-    return F.when(generic, F.lit(False)).otherwise(any_hit)
+    return F.exists(toks, lambda tok: F.contains(t, tok) | F.contains(dom, tok))
 
 
 def fetch_error_policy_col(status: Column) -> Column:

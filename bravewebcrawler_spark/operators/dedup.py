@@ -97,28 +97,15 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 3, thresho
     )
 
 
-def minhash_signature_col(text_col, k: int = 3):
-    """NUM_HASHES-wide minhash signature over k-shingles.
-
-    h_j(s) = (a_j * H(s) + b_j) mod P with H the portable 60-bit hash reduced
-    mod P; a_j <= 2*NUM_HASHES+3 keeps a_j*H < 2^63 (ANSI-safe)."""
-    sh = shingles_col(text_col, k)
-    hashed = F.transform(sh, lambda s: portable_hash64(s) % MINHASH_P)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
-        lambda j: F.array_min(
-            F.transform(hashed, lambda h: (h * (2 * j + 3) + (5 * j + 7)) % MINHASH_P)
-        ),
-    )
-
-
 def minhash_signature_cols(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Signature as NUM_HASHES columns via explode + hash-aggregate.
+    """Signature as NUM_HASHES columns via explode + hash-aggregate:
+    h_j(s) = (a_j * H(s) + b_j) mod P with H the portable 60-bit hash reduced
+    mod P; a_j <= 2*NUM_HASHES+3 keeps a_j*H < 2^63 (ANSI-safe).
 
-    The corpus-scale shape: each shingle is hashed ONCE (the array-fold
-    variant re-derives md5 per hash function), and the per-doc min is a
-    map-side partial aggregate — shuffle carries only (doc, 16 longs).
-    Values are identical to minhash_signature_col.
+    The corpus-scale shape: each shingle is hashed ONCE, and the per-doc min
+    is a map-side partial aggregate — shuffle carries only (doc, 16 longs).
+    (An array-fold column variant existed but re-derived md5 per hash
+    function and had no consumers — deleted.)
     """
     sh = (
         df.where(F.size(tokens_col(F.col(text_col))) >= k)
@@ -164,6 +151,47 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
     )
 
 
+def lsh_refined_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """The 100-TB dedup composition: MinHash+LSH candidate generation, exact
+    Jaccard refinement computed ONLY on the candidate pairs.
+
+    The full-corpus shingle self-join (jaccard_pairs) is quadratic in hot
+    shingles; here the expensive exact step touches only |candidates| pairs —
+    the shingle explode is restricted to docs that appear in a candidate
+    (semi-join), and the intersection count joins shingles through the
+    candidate pair list instead of shingle-vs-shingle.
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, k)
+    cand_docs = cand.select(F.col("id_a").alias("doc")).unionByName(
+        cand.select(F.col("id_b").alias("doc"))
+    ).distinct()
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
+        )
+        .join(cand_docs, "doc", "left_semi")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_col(text_col, bits: int = 16):
     """SimHash over whitespace tokens: bit b is the sign of the per-bit vote
     sum across token hashes. Composed per-bit from array folds (built-ins)."""
@@ -182,11 +210,69 @@ def simhash_col(text_col, bits: int = 16):
 
 
 def simhash_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """Near-dup buckets: docs sharing a full simhash (cheap first stage; a
-    banded Hamming-distance variant refines at scale)."""
+    """Near-dup buckets: docs sharing a full simhash (cheap first stage;
+    simhash_near_pairs below is the banded Hamming refinement)."""
     sh = df.select(F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("simhash"))
     return (
         sh.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc").alias("keeper_id"))
         .where(F.col("n_docs") >= 1)
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Banded-Hamming simhash near-dup pairs (the scale refinement).
+
+    Pigeonhole: two signatures within Hamming distance d < ``bands`` agree
+    exactly on at least one of the ``bands`` bit-bands, so candidate
+    generation is an equi-join on (band, band_bits) — never an all-pairs
+    XOR scan — and the exact ``bit_count(xor) <= max_hamming`` check runs
+    only on candidates. Requires max_hamming < bands for completeness within
+    the candidate set.
+    """
+    assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig = df.select(
+        F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("simhash")
+    )
+    per_band = [
+        sig.select(
+            "doc",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = per_band[0]
+    for extra in per_band[1:]:
+        banded = banded.unionByName(extra)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

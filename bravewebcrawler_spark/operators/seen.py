@@ -310,6 +310,40 @@ def cuckoo_delete(cuckoo: DataFrame, hashes: DataFrame, n_buckets: int, table_bu
     return existing.unionByName(tagged).groupBy("bucket").applyInPandas(update, BLOOM_SCHEMA)
 
 
+def bloom_hits(
+    hashes: DataFrame, bloom: DataFrame, n_buckets: int, m_bits: int, hash_col: str = "url_hash"
+) -> DataFrame:
+    """The hashes (ONLY) that the bloom flags maybe-seen.
+
+    Unlike :func:`bloom_split`, which round-trips every candidate COLUMN
+    through Arrow, this passes just (bucket, hash) — 12 bytes/row — and
+    returns the hit hashes; the caller splits the full candidate rows with
+    JVM joins against this (small) hit set. Same contract: a miss is
+    authoritative, a hit must be confirmed by the exact anti-join.
+    """
+    cand = hashes.select(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("__bucket"),
+        F.col(hash_col).alias("h"),
+    )
+    blm = bloom.withColumnRenamed("bucket", "__bucket")
+
+    def test(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame({hash_col: pd.Series([], dtype="int64")})
+        hs = left["h"].to_numpy(dtype=np.int64)
+        if right.empty or right["filter"].dropna().empty:
+            return pd.DataFrame({hash_col: pd.Series([], dtype="int64")})
+        filt = np.frombuffer(bytes(right["filter"].dropna().iloc[0]), dtype=np.uint8)
+        maybe = _test_bits(filt, _bit_positions(hs, m_bits))
+        return pd.DataFrame({hash_col: hs[maybe]})
+
+    return (
+        cand.groupBy("__bucket")
+        .cogroup(blm.groupBy("__bucket"))
+        .applyInPandas(test, f"{hash_col} long")
+    )
+
+
 def dedup_with_bloom(
     candidates: DataFrame,
     seen: DataFrame,

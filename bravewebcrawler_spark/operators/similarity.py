@@ -190,6 +190,33 @@ def hyperplane_sign_bucket(vec: Column, n_planes: int = 8, n_dims: int = 64) -> 
     return bucket
 
 
+def bucketed_neardup_pairs(
+    corpus: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99, n_planes: int = 8
+) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-bucket the corpus once, score
+    pairs ONLY within a bucket (id_a < id_b), keep cosine >= threshold.
+
+    This retires the all-pairs crossJoin as the only near-dup answer: the
+    candidate set is sum-of-squared-bucket-sizes instead of |corpus|^2, and
+    the bucket id doubles as a write-time partition key at 10^10 vectors.
+    Near-identical vectors (the near-dup regime) agree on every hyperplane
+    sign with overwhelming probability, so recall loss concentrates exactly
+    where cosine < threshold anyway; the exact crossJoin variant remains as
+    the small-scale/verification baseline (embed_neardup).
+    """
+    c = _spread(_normed(corpus, id_col, vec_col, "doc", "v", "n")).withColumn(
+        "bucket", hyperplane_sign_bucket(F.col("v"), n_planes)
+    )
+    a = c.select(F.col("doc").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
+    b = c.select(F.col("doc").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(_dot_raw(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= threshold)
+
+
 def lsh_bucketed_topk(
     queries: DataFrame, corpus: DataFrame, q_id: str, q_vec: str, c_id: str, c_vec: str,
     k: int = 10, n_planes: int = 8,

@@ -53,9 +53,10 @@ def parse_page_oracle(html: str) -> tuple[list[dict], list[str]]:
 
 @dataclass
 class OracleResult:
-    crawl_log: list[tuple[int, int, str, str]] = field(default_factory=list)  # round, seq, url_canon, status
+    # round, seq, url_canon, status, error[:30] (F18 truncation)
+    crawl_log: list[tuple[int, int, str, str, str | None]] = field(default_factory=list)
     documents: dict[str, list[dict]] = field(default_factory=dict)  # url_canon -> spans
-    seen: set[str] = field(default_factory=set)  # url_canon of every fetched URL
+    seen: set[str] = field(default_factory=set)  # url_canon of every fetched URL (TIMEOUTs excluded)
     frontier_rest: list[str] = field(default_factory=list)  # still-pending canonical urls
 
 
@@ -74,15 +75,18 @@ def _admit(web: SynthWeb, url: str, depth: int, policy: CrawlPolicy) -> tuple[st
 
 
 def crawl_oracle(web: SynthWeb, seeds: list[str], policy: CrawlPolicy) -> OracleResult:
+    from bravewebcrawler_spark.functions.relevance import is_generic_title_py
+
     res = OracleResult()
-    # frontier: url_canon -> (priority, depth); first discovery wins
-    frontier: dict[str, tuple[float, int]] = {}
+    # frontier: url_canon -> (priority, depth, attempts); first discovery
+    # wins the (priority, depth) value, attempts merges as max (T2)
+    frontier: dict[str, tuple[float, int, int]] = {}
     tokens: dict[str, float] = {}  # only hosts that ever spent; others implicitly full
 
     for u in seeds:
         adm = _admit(web, u, 0, policy)
         if adm is not None and adm[0] not in frontier:
-            frontier[adm[0]] = (adm[1], 0)
+            frontier[adm[0]] = (adm[1], 0, 0)
 
     for rnd in range(policy.max_rounds):
         if rnd > 0:
@@ -92,8 +96,8 @@ def crawl_oracle(web: SynthWeb, seeds: list[str], policy: CrawlPolicy) -> Oracle
             frontier.items(), key=lambda kv: (-kv[1][0], kv[1][1], url_hash_py(kv[0]), kv[0])
         )
         budget = {}
-        selected: list[tuple[str, float, int]] = []
-        for canon, (prio, depth) in ordered:
+        selected: list[tuple[str, float, int, int]] = []
+        for canon, (prio, depth, attempts) in ordered:
             if len(selected) >= policy.max_urls_per_round:
                 break
             h = host_of_py(canon)
@@ -101,22 +105,32 @@ def crawl_oracle(web: SynthWeb, seeds: list[str], policy: CrawlPolicy) -> Oracle
                 budget[h] = int(tokens.get(h, policy.capacity))
             if budget[h] > 0:
                 budget[h] -= 1
-                selected.append((canon, prio, depth))
+                selected.append((canon, prio, depth, attempts))
         if not selected:
             break
 
-        for seq, (canon, prio, depth) in enumerate(selected):
+        for seq, (canon, prio, depth, attempts) in enumerate(selected):
             del frontier[canon]
-            res.seen.add(canon)
             h = host_of_py(canon)
             tokens[h] = tokens.get(h, policy.capacity) - 1.0
-            html = web.render(canon)
-            if html is None:
-                res.crawl_log.append((rnd, seq, canon, "FETCH_404"))
+            status, html, err = web.fetch_outcome(canon, attempts)
+            res.crawl_log.append((rnd, seq, canon, status, err[:30] if err else None))
+            if status == "TIMEOUT":
+                # T2: transient — back into the frontier, retried later;
+                # NOT added to seen (the engine excludes it from seen_delta)
+                frontier[canon] = (prio, depth, attempts + 1)
+                continue
+            res.seen.add(canon)
+            if status != "FETCHED_OK":
                 continue
             spans, outlinks = parse_page_oracle(html)
             res.documents[canon] = spans
-            res.crawl_log.append((rnd, seq, canon, "FETCHED_OK"))
+            # P6 gate: a generic <title> blocks outlink expansion (document
+            # and log row are kept) — mirrors plans/round.py
+            if policy.use_relevance_gate:
+                title = spans[0]["text"] if spans and spans[0]["kind"] == "text" else ""
+                if title and is_generic_title_py(title):
+                    continue
             # within-round discovery dedup: min depth wins; but all links from
             # one round share depth+1 per parent — first-wins over the
             # selected order is deterministic and matches the engine's
@@ -130,11 +144,11 @@ def crawl_oracle(web: SynthWeb, seeds: list[str], policy: CrawlPolicy) -> Oracle
                 if lc in res.seen:
                     continue
                 if lc in frontier:
-                    old_p, old_d = frontier[lc]
+                    old_p, old_d, old_a = frontier[lc]
                     if depth + 1 < old_d:
-                        frontier[lc] = (lp, depth + 1)
+                        frontier[lc] = (lp, depth + 1, old_a)
                 else:
-                    frontier[lc] = (lp, depth + 1)
+                    frontier[lc] = (lp, depth + 1, 0)
 
     res.frontier_rest = sorted(frontier)
     return res

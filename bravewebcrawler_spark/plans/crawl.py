@@ -126,7 +126,12 @@ def crawl(
             F.count_if(F.col("status") == "FETCHED_OK").alias("ok"),
         ).first()
         dequeued, fetched_ok = counts["n"], counts["ok"]
-        out["discovered"].count()
+        if debug:
+            print(f"  round {rnd} jobA fetch+agg in {time.time() - t_warm:6.2f}s", flush=True)
+        t_b = time.time()
+        out["additions"].count()
+        if debug:
+            print(f"  round {rnd} jobB additions in {time.time() - t_b:6.2f}s", flush=True)
         if debug:
             print(
                 f"  round {rnd} warm+counts in {time.time() - t_warm:6.2f}s "

@@ -46,6 +46,11 @@ class CrawlPolicy:
     # full frontier/bloom snapshot every N rounds (rounds in between commit
     # O(delta) only); bounds both resume read fan-in and cross-round plan depth
     compact_every: int = 4
+    # P6 wired into the round: pages with a generic <title> do not expand
+    # their outlinks (the page itself is still fetched/logged/kept) —
+    # mirrors the reference gating its expensive stage on the relevance
+    # pre-check (brave_processor.py:94-102)
+    use_relevance_gate: bool = False
 
 
 def priority_py(host: str, path: str, depth: int) -> float:

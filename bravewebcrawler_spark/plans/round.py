@@ -64,6 +64,9 @@ FRONTIER_SCHEMA = T.StructType(
         # partition appended this entry — debugging/audit only, never part of
         # the ordering or equality contracts
         T.StructField("lineage", T.StringType(), False),
+        # T2: number of prior fetch attempts (a TIMEOUT returns the URL to the
+        # frontier with attempts+1 and it is retried on a later round)
+        T.StructField("attempts", T.IntegerType(), False),
     ]
 )
 
@@ -96,9 +99,12 @@ SPAN_TYPE = T.ArrayType(
 FETCHED_SCHEMA = T.StructType(
     [
         T.StructField("url_canon", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
         T.StructField("seq", T.IntegerType(), False),
         T.StructField("depth", T.IntegerType(), False),
+        T.StructField("attempts", T.IntegerType(), False),
         T.StructField("status", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
         T.StructField("spans", SPAN_TYPE, True),
         T.StructField("outlinks", T.ArrayType(T.StringType()), True),
     ]
@@ -136,6 +142,7 @@ def admit_candidates(raw_urls: DataFrame, depth_col: str, round_no: int, robots:
             "lineage",
             F.concat(F.lit(f"r{round_no}:p"), F.spark_partition_id().cast("string")),
         )
+        .withColumn("attempts", F.lit(0))
     )
     from bravewebcrawler_spark.operators.politeness import robots_allowed
 
@@ -160,7 +167,9 @@ def merge_frontier(parts: DataFrame) -> DataFrame:
     ).alias("b")
     return (
         parts.groupBy("url_canon", "url_hash", "host", "path")
-        .agg(best)
+        # attempts merges independently of the value struct: a retried entry
+        # never loses its attempt count to a fresh rediscovery (T2)
+        .agg(best, F.max("attempts").alias("attempts"))
         .select(
             "url_canon",
             "url_hash",
@@ -170,25 +179,36 @@ def merge_frontier(parts: DataFrame) -> DataFrame:
             (-F.col("b.negd")).cast("int").alias("depth"),
             F.col("b.round_added").alias("round_added"),
             F.col("b.lineage").alias("lineage"),
+            "attempts",
         )
     )
 
 
 def _fetch_parse_factory(web: SynthWeb):
-    """mapInPandas fn: fetch (the stand-in for executor-side HTTP I/O,
-    reference search_common.py:407-409) + vectorized span/outlink parse."""
+    """mapInPandas fn: fetch with the T2 failure taxonomy (the stand-in for
+    executor-side HTTP I/O with a hard per-item budget, reference
+    search_common.py:407-409 + brave_processor.py:42,276-304) + vectorized
+    span/outlink parse. The per-URL loop IS the network call; parsing stays
+    pandas-vectorized."""
 
     def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            html = pdf["url_canon"].map(web.render)  # per-URL "network" call
+            outcomes = [
+                web.fetch_outcome(u, int(a))
+                for u, a in zip(pdf["url_canon"], pdf["attempts"])
+            ]
+            html = pd.Series([o[1] for o in outcomes], index=pdf.index, dtype=object)
             spans = extract.parse_spans_pd(html)
             outlinks = extract.parse_outlinks_pd(html)
             yield pd.DataFrame(
                 {
                     "url_canon": pdf["url_canon"],
+                    "url_hash": pdf["url_hash"],
                     "seq": pdf["seq"],
                     "depth": pdf["depth"],
-                    "status": html.notna().map({True: "FETCHED_OK", False: "FETCH_404"}),
+                    "attempts": pdf["attempts"],
+                    "status": pd.Series([o[0] for o in outcomes], index=pdf.index),
+                    "error": pd.Series([o[2] for o in outcomes], index=pdf.index, dtype=object),
                     "spans": spans,
                     "outlinks": outlinks,
                 }
@@ -316,7 +336,7 @@ def run_round(
     """
     from pyspark import StorageLevel
 
-    from bravewebcrawler_spark.operators.seen import bloom_insert_delta, bloom_split, empty_bloom
+    from bravewebcrawler_spark.operators.seen import bloom_hits, bloom_insert_delta, empty_bloom
 
     if bloom is None:
         bloom = empty_bloom(spark, policy.bloom_buckets)
@@ -339,19 +359,27 @@ def run_round(
     )
 
     fetched = (
-        selected.select("url_canon", "seq", "depth")
+        selected.select("url_canon", "url_hash", "seq", "depth", "attempts")
         .mapInPandas(_fetch_parse_factory(web), schema=FETCHED_SCHEMA)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    # F18: error messages truncated to 30 chars in the log, never dropped
+    # (brave_processor.py:179,198)
     crawl_log = fetched.select(
-        F.lit(round_no).alias("round"), "seq", "url_canon", "status"
+        F.lit(round_no).alias("round"),
+        "seq",
+        "url_canon",
+        "status",
+        F.substring("error", 1, 30).alias("error"),
     )
     documents = fetched.where(F.col("status") == "FETCHED_OK").select(
         F.col("url_canon").alias("doc_id"), F.lit(round_no).alias("round"), "spans"
     )
 
-    seen_delta = selected.select(
+    # T2: a TIMEOUT is transient — the URL is NOT marked seen; it returns to
+    # the frontier below with attempts+1 and is retried on a later round.
+    seen_delta = fetched.where(F.col("status") != "TIMEOUT").select(
         "url_canon", "url_hash", F.lit(round_no).alias("round_seen")
     )
     new_seen = seen.unionByName(seen_delta)
@@ -362,8 +390,19 @@ def run_round(
     spends = selected.groupBy("host").agg(F.count("*").cast("double").alias("spent"))
     new_host_state = spend_tokens(host_state, spends, policy, refill=round_no > 0)
 
+    # P6 wired into the round: only successfully fetched pages expand, and —
+    # with the relevance gate on — pages whose <title> is generic do not
+    # contribute outlinks (the reference gates its expensive stage on the
+    # relevance pre-check, brave_processor.py:94-102). The page itself is
+    # still fetched, logged and kept as a document; only expansion is gated.
+    expanding = fetched.where(F.col("status") == "FETCHED_OK")
+    if policy.use_relevance_gate:
+        from bravewebcrawler_spark.functions.relevance import is_generic_title_col
+
+        title = F.element_at(F.col("spans"), 1)["text"]
+        expanding = expanding.where(~is_generic_title_col(title))
     discovered_raw = (
-        fetched.select("depth", F.explode_outer("outlinks").alias("url"))
+        expanding.select("depth", F.explode_outer("outlinks").alias("url"))
         .where(F.col("url").isNotNull())
         .select("url", (F.col("depth") + 1).alias("link_depth"))
     )
@@ -384,35 +423,64 @@ def run_round(
     bloom_delta = bloom_delta.persist(StorageLevel.MEMORY_AND_DISK)
     cached += [selected, fetched, bloom_delta]
     if policy.use_bloom:
-        # inline dedup_with_bloom with the tagged split persisted: the
-        # bucket-cogroup membership test runs once, not once per branch
-        tagged = bloom_split(
-            discovered, new_bloom, policy.bloom_buckets, policy.bloom_m_bits
+        # hash-only membership probe: 12 bytes/candidate through Arrow, hit
+        # hashes back; the row split is two JVM joins against the (small)
+        # hit set — the earlier full-row cogroup round-tripped every
+        # candidate column through Python and dominated the round at scale.
+        # discovered is persisted here because the split scans it twice.
+        discovered = discovered.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(discovered)
+        hits = bloom_hits(
+            discovered.select("url_hash"), new_bloom, policy.bloom_buckets, policy.bloom_m_bits
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        cached.append(tagged)
-        fresh = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
-        suspect = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
+        cached.append(hits)
+        fresh = discovered.join(hits, "url_hash", "left_anti")
+        suspect = discovered.join(hits, "url_hash", "left_semi")
         discovered = fresh.unionByName(
             suspect.join(new_seen.select("url_hash"), "url_hash", "left_anti")
         )
     else:
         discovered = discovered.join(new_seen.select("url_hash"), "url_hash", "left_anti")
-    # discovered feeds three consumers (the touched-keys broadcast below,
+    # T2 retries: timed-out URLs return to the frontier with attempts+1
+    # (host/path/priority recomputed from the canonical URL — identical pure
+    # functions, so the retried entry ranks exactly as the original did).
+    retry = fetched.where(F.col("status") == "TIMEOUT").select(
+        "url_canon",
+        "url_hash",
+        host_of_col(F.col("url_canon")).alias("host"),
+        path_of_col(F.col("url_canon")).alias("path"),
+        "depth",
+        (F.col("attempts") + 1).alias("attempts"),
+    )
+    retry = retry.select(
+        "url_canon",
+        "url_hash",
+        "host",
+        "path",
+        priority_col(F.col("host"), F.col("path"), F.col("depth")).alias("priority"),
+        "depth",
+        F.lit(round_no + 1).alias("round_added"),
+        F.concat(F.lit(f"r{round_no}:retry:p"), F.spark_partition_id().cast("string")).alias("lineage"),
+        "attempts",
+    )
+    additions = discovered.unionByName(retry)
+    # additions feeds three consumers (the touched-keys broadcast below,
     # frontier_delta, and the warm/metrics count) — persist it so the
     # explode→canonicalize→dedup chain runs once per round.
-    discovered = discovered.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.append(discovered)
+    additions = additions.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(additions)
 
     # O(delta) frontier update: rows selected this round leave; rows whose
-    # key was rediscovered are min-depth-merged with the new discovery; all
-    # other rows are untouched and NEVER shuffled or rewritten. Both key
-    # sets are round-bounded → broadcast (map-side) anti/semi joins.
+    # key was rediscovered (or timed out and re-enqueued) are merged against
+    # their current frontier version; all other rows are untouched and NEVER
+    # shuffled or rewritten. Both key sets are round-bounded → broadcast
+    # (map-side) anti/semi joins.
     selected_keys = selected.select("url_hash")
-    touched_keys = discovered.select("url_hash")
+    touched_keys = additions.select("url_hash")
     remaining = frontier.join(F.broadcast(selected_keys), "url_hash", "left_anti")
     touched = remaining.join(F.broadcast(touched_keys), "url_hash", "left_semi")
     untouched = remaining.join(F.broadcast(touched_keys), "url_hash", "left_anti")
-    frontier_delta = merge_frontier(touched.unionByName(discovered)).persist(
+    frontier_delta = merge_frontier(touched.unionByName(additions)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cached.append(frontier_delta)
@@ -430,6 +498,6 @@ def run_round(
         "crawl_log": crawl_log,
         "selected_count": selected,  # caller may count for the empty-round gate
         "fetched": fetched,
-        "discovered": discovered,
+        "additions": additions,  # discovered ∪ retries (frontier delta input)
         "_cached": cached,  # caller unpersists after commit
     }

@@ -186,6 +186,34 @@ class SynthWeb:
         """Fetch by any (possibly messy) URL: canonicalize, then render."""
         return self.render(canonicalize_url_py(url))
 
+    def fetch_outcome(self, url_canon: str, attempts: int) -> tuple[str, str | None, str | None]:
+        """Deterministic fetch with the reference's failure taxonomy
+        (T2/F18 pressure, brave_processor.py:42,179,276-304): returns
+        ``(status, html, error_message)``.
+
+        * unknown page                →  HTTP_404 (permanent)
+        * ~3% of pages                →  HTTP_500 (permanent server error)
+        * ~6% of pages, FIRST attempt →  TIMEOUT (transient: the per-item
+          budget fired; a retry on a later round succeeds — attempts is the
+          number of prior tries, carried in the frontier)
+        * otherwise                   →  FETCHED_OK + html
+
+        Error messages are deliberately longer than 30 chars so the engine's
+        ``substring(error, 1, 30)`` truncation (F18, brave_processor.py:179)
+        is exercised, and are pure functions of the URL so the sequential
+        oracle reproduces them bit-for-bit.
+        """
+        pid = self._parse_page_id(url_canon)
+        if pid is None:
+            return ("HTTP_404", None, f"404 client error: page not found at {url_canon}")
+        host_i, page_j = pid
+        r = _rnd(self.seed, "err", host_i, page_j)
+        if r % 31 == 0:
+            return ("HTTP_500", None, f"500 server error: internal fault {r % 10**6} serving {url_canon}")
+        if r % 17 == 0 and attempts == 0:
+            return ("TIMEOUT", None, f"fetch exceeded {20 + r % 40}.0s hard budget for {url_canon}")
+        return ("FETCHED_OK", self.render(url_canon), None)
+
     # ----------------------------------------------------------------- seeds
     def seed_urls(self, n: int) -> list[tuple[str, str]]:
         """n (seed_id, messy_url) pairs — the analog of the reference's

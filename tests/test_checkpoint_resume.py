@@ -15,7 +15,8 @@ WEB = SynthWeb(seed=99, n_hosts=15, pages_per_host=10, hot_hosts=2)
 def _log(spark, state_dir):
     out = read_outputs(spark, state_dir)
     return sorted(
-        (r["round"], r["seq"], r["url_canon"], r["status"]) for r in out["crawl_log"].collect()
+        (r["round"], r["seq"], r["url_canon"], r["status"], r["error"])
+        for r in out["crawl_log"].collect()
     )
 
 

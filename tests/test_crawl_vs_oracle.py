@@ -39,7 +39,7 @@ def runs(spark, tmp_path_factory):
 def test_crawl_ordering_identical(runs):
     oracle, eng = runs
     got = sorted(
-        (r["round"], r["seq"], r["url_canon"], r["status"])
+        (r["round"], r["seq"], r["url_canon"], r["status"], r["error"])
         for r in eng["crawl_log"].collect()
     )
     expect = sorted(oracle.crawl_log)
@@ -86,7 +86,8 @@ def test_bloom_crawl_matches_oracle(spark, tmp_path_factory, runs):
     crawl(spark, WEB, seeds_df, policy, state_dir)
     eng = read_outputs(spark, state_dir)
     got = sorted(
-        (r["round"], r["seq"], r["url_canon"], r["status"]) for r in eng["crawl_log"].collect()
+        (r["round"], r["seq"], r["url_canon"], r["status"], r["error"])
+        for r in eng["crawl_log"].collect()
     )
     assert got == sorted(oracle.crawl_log)
     assert {r["url_canon"] for r in eng["seen"].collect()} == oracle.seen
@@ -95,6 +96,52 @@ def test_bloom_crawl_matches_oracle(spark, tmp_path_factory, runs):
 def test_some_real_crawling_happened(runs):
     oracle, _ = runs
     assert len(oracle.seen) > 40, "fixture too small to be meaningful"
-    assert any(s == "FETCH_404" for *_x, s in oracle.crawl_log)
+    statuses = {s for _r, _q, _u, s, _e in oracle.crawl_log}
+    assert "HTTP_404" in statuses
     rounds = {r for r, *_ in oracle.crawl_log}
     assert len(rounds) >= 3
+
+
+def test_timeout_retry_parity(runs):
+    """T2: TIMEOUT rows exist, carry a truncated error (F18, <=30 chars),
+    and every timed-out URL is retried later with a terminal outcome."""
+    oracle, eng = runs
+    log = sorted(oracle.crawl_log)
+    timeouts = [(r, u, e) for r, _q, u, s, e in log if s == "TIMEOUT"]
+    assert timeouts, "fixture produced no TIMEOUTs — taxonomy untested"
+    for _r, _u, e in timeouts:
+        assert e is not None and len(e) == 30  # messages are longer; truncated
+    # a retried URL never times out twice (attempts=1 succeeds), and at least
+    # one retry completes within the round budget (last-round timeouts may
+    # legitimately still be pending in the frontier)
+    retried_terminal = 0
+    for r0, u, _e in timeouts:
+        later = [s for r, _q, uu, s, _e2 in log if uu == u and r > r0]
+        assert all(s != "TIMEOUT" for s in later), f"{u} timed out twice"
+        retried_terminal += bool(later)
+    assert retried_terminal > 0, "no timed-out URL was ever retried"
+    # engine log already proven identical in test_crawl_ordering_identical;
+    # spot-check the engine rows directly too
+    eng_timeouts = eng["crawl_log"].where("status = 'TIMEOUT'").collect()
+    assert {(r["round"], r["url_canon"], r["error"]) for r in eng_timeouts} == set(timeouts)
+
+
+def test_relevance_gate_parity(spark, tmp_path_factory):
+    """P6 wired into the round: generic-title pages don't expand. Oracle and
+    engine must agree on the full log with the gate ON, and the gate must
+    actually change the crawl (generic titles exist in the fixture web)."""
+    from dataclasses import replace
+
+    policy = replace(POLICY, use_relevance_gate=True)
+    oracle = crawl_oracle(WEB, [u for _, u in WEB.seed_urls(12)], policy)
+    baseline = crawl_oracle(WEB, [u for _, u in WEB.seed_urls(12)], POLICY)
+    assert sorted(oracle.crawl_log) != sorted(baseline.crawl_log), "gate was a no-op"
+    state_dir = str(tmp_path_factory.mktemp("crawlstate_gate"))
+    seeds_df = spark.createDataFrame(WEB.seed_urls(12), "seed_id string, url string")
+    crawl(spark, WEB, seeds_df, policy, state_dir)
+    eng = read_outputs(spark, state_dir)
+    got = sorted(
+        (r["round"], r["seq"], r["url_canon"], r["status"], r["error"])
+        for r in eng["crawl_log"].collect()
+    )
+    assert got == sorted(oracle.crawl_log)

@@ -45,7 +45,7 @@ robots = robots_df(spark, web)
 sel0 = dequeue(frontier, st["host_state"], policy, refill=False).persist(StorageLevel.MEMORY_AND_DISK)
 n = sel0.count()
 t0 = lap(f"dequeue r0 ({n})", t0)
-fetched0 = sel0.select("url_canon", "seq", "depth").mapInPandas(_fetch_parse_factory(web), FETCHED_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)
+fetched0 = sel0.select("url_canon", "url_hash", "seq", "depth", "attempts").mapInPandas(_fetch_parse_factory(web), FETCHED_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)
 n = fetched0.count()
 t0 = lap(f"fetch+parse r0 ({n})", t0)
 raw = fetched0.select("depth", F.explode_outer("outlinks").alias("url")).where(F.col("url").isNotNull()).select("url", (F.col("depth") + 1).alias("d"))
@@ -60,7 +60,7 @@ t0 = lap(f"merge frontier ({n})", t0)
 sel1 = dequeue(big, st["host_state"], policy, refill=True).persist(StorageLevel.MEMORY_AND_DISK)
 n = sel1.count()
 t0 = lap(f"dequeue r1 BIG ({n})", t0)
-fetched1 = sel1.select("url_canon", "seq", "depth").mapInPandas(_fetch_parse_factory(web), FETCHED_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)
+fetched1 = sel1.select("url_canon", "url_hash", "seq", "depth", "attempts").mapInPandas(_fetch_parse_factory(web), FETCHED_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)
 n = fetched1.count()
 t0 = lap(f"fetch+parse r1 ({n})", t0)
 raw1 = fetched1.select("depth", F.explode_outer("outlinks").alias("url")).where(F.col("url").isNotNull()).select("url", (F.col("depth") + 1).alias("d"))
