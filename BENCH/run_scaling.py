@@ -44,9 +44,19 @@ def run_once(cpus: int) -> dict:
         SPARK_LOCAL_DIRS="/dev/shm/spark-tmp",
         SPARK_GRAFT_STATE_DIR_BASE="/dev/shm/bwc-state",
     )
+    # Pin the WHOLE process tree (JVM task threads, GC/JIT threads, Python
+    # workers, shuffle IO) to exactly `cpus` cores. Without this, local[2]
+    # on a 32-core host gets free help — 32 GC threads, unpinned Python
+    # workers — that a real 2-core executor does not have, which UNDERSTATES
+    # scaling efficiency. taskset is exactly how an N-core executor container
+    # is carved out of a big host.
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    import shutil as _shutil
+
+    if _shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600, cwd=REPO,
+        cmd, env=env, capture_output=True, text=True, timeout=3600, cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     import shutil

@@ -312,6 +312,35 @@ def p9_pdf_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flt.groupBy("p_brand").agg(F.count("*").alias("n_reports"))
 
 
+def f14_current_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 current-year filter with previous-year fallback
+    (google_harvester.py:105-114: prefer reports of year(now), fall back to
+    year-1). Link years are synthesized FROM current_date() on both sides, so
+    the query works on any run date (same-day engine/oracle runs assumed —
+    the driver executes both within one session)."""
+    p = _t(spark, sf_dir, "part")
+    y = F.year(F.current_date())
+    link_year = y - F.col("p_partkey") % 4  # years: y, y-1, y-2, y-3
+    link = F.concat(
+        F.lit("http://reports.example/"),
+        F.col("p_brand"),
+        F.lit("-"),
+        link_year.cast("string"),
+        F.lit(".pdf"),
+    )
+    tagged = p.select("p_brand", "p_partkey", link.alias("link"), link_year.alias("ly"))
+    # prefer current-year reports; a brand with none falls back to year-1
+    per_brand = tagged.groupBy("p_brand").agg(
+        F.count_if(F.col("ly") == y).alias("n_current"),
+        F.count_if(F.col("ly") == y - 1).alias("n_prev"),
+    )
+    return per_brand.select(
+        "p_brand",
+        F.when(F.col("n_current") > 0, F.col("n_current")).otherwise(F.col("n_prev")).alias("n_reports"),
+        F.when(F.col("n_current") > 0, F.lit("current")).otherwise(F.lit("fallback")).alias("year_used"),
+    )
+
+
 def _sql_facts_text() -> str:
     return (
         "text || case when doc_id % 3 = 0 then ' UID CHE-123.456.789 Telefon "
@@ -753,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_source_cascade": o3_source_cascade,
         "f12_digit_extraction": f12_digit_extraction,
         "s6_entity_lookup": s6_entity_lookup,
+        "f14_current_year": f14_current_year,
         "f15_json_decode": f15_json_decode,
         "metrics_cube": metrics_cube,
     }
@@ -920,6 +950,20 @@ def oracle_sql() -> dict[str, str]:
                     from mention left join entities on lower(mention) = alias)
             select custkey, mention, qid, region, code
             from res left join best using (qid)
+        """,
+        "f14_current_year": """
+            with tagged as (
+              select p_brand, year(current_date) - p_partkey % 4 as ly
+              from part),
+            per_brand as (
+              select p_brand,
+                     cast(count(*) filter (ly = year(current_date)) as bigint) as n_current,
+                     cast(count(*) filter (ly = year(current_date) - 1) as bigint) as n_prev
+              from tagged group by p_brand)
+            select p_brand,
+                   case when n_current > 0 then n_current else n_prev end as n_reports,
+                   case when n_current > 0 then 'current' else 'fallback' end as year_used
+            from per_brand
         """,
         "q3_shipping": """
             select l_orderkey, cast(o_orderdate as date) as order_date,

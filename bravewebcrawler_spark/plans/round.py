@@ -236,6 +236,10 @@ def _global_rank_cap(
         return capped.withColumn("seq", (F.row_number().over(wseq) - 1).cast("int"))
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartitionByRange SAMPLES its input in a separate job to pick range
+    # boundaries — without this persist the expensive dequeue windows would
+    # compute twice (once for the sample pass, once for the real shuffle).
+    survivors = survivors.persist()
     s = (
         survivors.repartitionByRange(n_part, *order)
         .sortWithinPartitions(*order)
@@ -249,6 +253,7 @@ def _global_rank_cap(
     # path). Callers pass cache_registry to unpersist after the round; for
     # direct callers a GC finalizer releases the cache instead of leaking it.
     if cache_registry is not None:
+        cache_registry.append(survivors)
         cache_registry.append(s)
     sizes = {r["__pid"]: r["c"] for r in s.groupBy("__pid").agg(F.count("*").alias("c")).collect()}
     offsets, acc = [], 0
@@ -264,11 +269,12 @@ def _global_rank_cap(
     if cache_registry is None:
         import weakref
 
-        def _release(sdf=s):
-            try:
-                sdf.unpersist()
-            except Exception:  # noqa: BLE001 — interpreter/JVM teardown
-                pass
+        def _release(dfs=(survivors, s)):
+            for sdf in dfs:
+                try:
+                    sdf.unpersist()
+                except Exception:  # noqa: BLE001 — interpreter/JVM teardown
+                    pass
 
         weakref.finalize(result, _release)
     return result
