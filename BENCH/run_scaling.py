@@ -68,15 +68,18 @@ def run_once(cpus: int) -> dict:
 def main() -> None:
     repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 1
     results: dict[int, dict] = {}
-    for cpus in LEVELS:
-        best = None
-        for _ in range(repeat):
+    # Reps are INTERLEAVED across levels (2,8,32, 2,8,32, ...) so slow host
+    # phases hit every level equally instead of biasing one; best-of-reps per
+    # level then approximates the noise-free time (host variance on identical
+    # runs has measured up to 1.8x).
+    for rep in range(repeat):
+        for cpus in LEVELS:
             r = run_once(cpus)
+            best = results.get(cpus)
             if best is None or r["crawl_urls_per_s"] > best["crawl_urls_per_s"]:
-                best = r
-        results[cpus] = best
-        print(f"local[{cpus}]: {best['crawl_urls']} urls in {best['crawl_wall_s']}s "
-              f"= {best['crawl_urls_per_s']} urls/s", flush=True)
+                results[cpus] = r
+            print(f"rep {rep} local[{cpus}]: {r['crawl_urls']} urls in {r['crawl_wall_s']}s "
+                  f"= {r['crawl_urls_per_s']} urls/s", flush=True)
 
     t = {c: results[c]["crawl_urls_per_s"] for c in LEVELS}
     eff_2_8 = t[8] / (4 * t[2])
@@ -91,12 +94,14 @@ def main() -> None:
     md = f"""# BENCH/BASELINE — crawl throughput + scaling efficiency
 
 North-rule metric: URLs fetched+deduped per second over a synthetic frontier
-(fixed seed list; SynthWeb seed=42, 20 000 hosts x 300 pages, weight=16 pages
-(~50 paragraphs + media + ~50 links each), politeness capacity=rate=40,
-2 rounds, 250k-URL round cap, bloom seen-set on). Identical job + identical
-input at each parallelism level, fresh JVM per run (BENCH/run_scaling.py).
+(250k seed URLs read from parquet; SynthWeb seed=42, 20 000 hosts x 300 pages,
+weight=16 pages (~50 paragraphs + media + ~50 links each), politeness
+capacity=rate=40, 2 rounds, 500k-URL round cap, bloom seen-set on). Identical
+job + identical input at each parallelism level, fresh JVM per run, the whole
+process tree taskset-pinned to exactly N cores (BENCH/run_scaling.py).
 
-Measured {datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")} on this 32-core host:
+Measured {datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")} on this 32-core host
+(best of --repeat interleaved reps per level):
 
 | parallelism | URLs dequeued+deduped | wall (s) | throughput (urls/s) |
 |---|---|---|---|

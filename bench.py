@@ -61,18 +61,32 @@ def bench_crawl(spark) -> dict:
     from bravewebcrawler_spark.sources.synthweb import SynthWeb
 
     web = SynthWeb(seed=42, n_hosts=20000, pages_per_host=300, hot_hosts=10, weight=16)
-    # bloom sized to the workload (~600k keys over 2 rounds): 64 buckets x
-    # 2^18 bits = 2 MB total at ~28 bits/key — the previous 1<<24 (128 MB)
-    # made every round's dirty-bucket write and Arrow pass 64x larger than
-    # the key volume justifies. (At 10^10 keys: scale bloom_buckets, keep
-    # ~32 KB/bucket — one Arrow batch per task.)
+    # Round sizing: a 100 TB crawl's rounds are ~10^8 URLs — per-round fixed
+    # driver costs (plan codegen, broadcast builds, commit) are noise there.
+    # A 250k round made those fixed costs ~15% of the round at local[8],
+    # understating the scaling a real cluster round would see; 250k seeds +
+    # a 500k round keeps the bench honest about the parallel fraction while
+    # still finishing in minutes.
+    # bloom sized to the workload (~810k keys over 2 rounds): 64 buckets x
+    # 2^18 bits = 2 MB total at ~20 bits/key. (At 10^10 keys: scale
+    # bloom_buckets, keep ~32 KB/bucket — one Arrow batch per task.)
     policy = CrawlPolicy(
-        capacity=40.0, rate=40.0, max_urls_per_round=250000, max_rounds=2,
+        capacity=40.0, rate=40.0, max_urls_per_round=500000, max_rounds=2,
         max_depth=8,
         use_bloom=os.environ.get("SPARK_GRAFT_BLOOM", "1") == "1",
         bloom_buckets=64, bloom_m_bits=1 << 18,
     )
-    seeds = spark.createDataFrame(web.seed_urls(60000), "seed_id string, url string")
+    # Seeds come from parquet, not a driver-local list: the reference reads
+    # its input CSV from disk, and driver-side pickling of a 250k-row Python
+    # list inside the timed region would add a level-independent constant.
+    seeds_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_STATE_DIR_BASE", tempfile.gettempdir()),
+        "bench_seeds.parquet",
+    )
+    spark.createDataFrame(
+        web.seed_urls(250000), "seed_id string, url string"
+    ).coalesce(4).write.mode("overwrite").parquet(seeds_path)
+    seeds = spark.read.parquet(seeds_path)
     # SPARK_GRAFT_STATE_DIR_BASE=/dev/shm/... for scaling runs: a real
     # N-executor cluster checkpoints to distributed storage whose bandwidth
     # scales with N; this sandbox has ONE disk, which would otherwise be a

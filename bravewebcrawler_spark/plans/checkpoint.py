@@ -67,11 +67,14 @@ def round_dir(state_dir: str, round_no: int) -> str:
 def write_tables(state_dir: str, round_no: int, tables: dict[str, DataFrame]) -> str:
     """Write a round's tables (not yet visible to resume until the manifest).
 
-    Serial by default: with the round intermediates cache-warmed, each write
-    is scan+encode only, and measured local-mode runs showed concurrent
-    write jobs LOSING to serial (scheduler/GC contention: 70s -> 23s for a
-    100k-URL round at local[32]). On a real cluster with idle executors,
-    BWC_WRITE_PAR>1 re-enables concurrent output stages."""
+    Concurrent by default: every table written here reads WARM caches (the
+    caller materializes selected/fetched/additions/fdelta via the two count
+    jobs first), so parallel write jobs are pure scan+encode and overlap
+    their fixed per-job latency. Concurrency over COLD caches is the thing
+    that measured badly (Spark does not dedupe in-flight computation of a
+    persisted partition: 70s vs 23s for a 100k-URL round at local[32]) —
+    which is why the warm-up counts in plans/crawl.py run before this.
+    BWC_WRITE_PAR=1 restores serial writes for diagnostics."""
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -91,7 +94,7 @@ def write_tables(state_dir: str, round_no: int, tables: dict[str, DataFrame]) ->
             print(f"    write {name:14s} {_time.time() - t0:6.2f}s", flush=True)
 
     names = list(tables)
-    workers = int(os.environ.get("BWC_WRITE_PAR", "1"))
+    workers = int(os.environ.get("BWC_WRITE_PAR", "6"))
     if workers <= 1:
         for name in names:
             write_one(name)
@@ -102,7 +105,8 @@ def write_tables(state_dir: str, round_no: int, tables: dict[str, DataFrame]) ->
 
 
 def publish_manifest(
-    state_dir: str, round_no: int, metrics: RoundMetrics, base_round: int
+    state_dir: str, round_no: int, metrics: RoundMetrics, base_round: int,
+    band_hist: dict[int, int] | None = None,
 ) -> None:
     """Atomically publish a fully-written round (the commit point)."""
     rd = round_dir(state_dir, round_no)
@@ -113,6 +117,9 @@ def publish_manifest(
         "metrics": metrics.__dict__,
         "committed_at": time.time(),
     }
+    if band_hist is not None:
+        # dequeue band histogram (JSON keys are strings; load converts back)
+        manifest["band_hist"] = {str(b): c for b, c in band_hist.items()}
     tmp = _manifest_path(state_dir, round_no) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -197,6 +204,13 @@ def load_state(spark: SparkSession, state_dir: str, round_no: int) -> dict[str, 
 
 def load_metrics(state_dir: str, round_no: int) -> dict:
     return _manifest(state_dir, round_no)["metrics"]
+
+
+def load_band_hist(state_dir: str, round_no: int) -> dict[int, int] | None:
+    """Dequeue band histogram committed with the round (None if the crawl
+    that wrote it ran without band pruning)."""
+    h = _manifest(state_dir, round_no).get("band_hist")
+    return None if h is None else {int(b): c for b, c in h.items()}
 
 
 def load_base_round(state_dir: str, round_no: int) -> int:

@@ -27,6 +27,7 @@ from bravewebcrawler_spark.plans.round import (
     HOST_STATE_SCHEMA,
     SEEN_SCHEMA,
     admit_candidates,
+    band_col,
     robots_df,
     run_round,
 )
@@ -92,15 +93,25 @@ def crawl(
     robots = robots_df(spark, web)
     start_round = 0
     seen_size = 0
+    frontier_size = 0
     base_round = 0
+    band_hist: dict[int, int] | None = {} if policy.dequeue_band_pruning else None
     last = ckpt.latest_round(state_dir) if resume else None
     if last is not None:
         state = ckpt.load_state(spark, state_dir, last)
         frontier, seen, host_state = state["frontier"], state["seen"], state["host_state"]
         bloom = state["bloom"]
-        seen_size = ckpt.load_metrics(state_dir, last)["seen_size"]
+        m = ckpt.load_metrics(state_dir, last)
+        seen_size = m["seen_size"]
+        frontier_size = m["frontier_size"]
         base_round = ckpt.load_base_round(state_dir, last)
         start_round = last + 1
+        if policy.dequeue_band_pruning:
+            saved = ckpt.load_band_hist(state_dir, last)
+            band_hist = saved if saved is not None else {
+                int(r["b"]): r["count"]
+                for r in frontier.groupBy(band_col(F.col("priority")).alias("b")).count().collect()
+            }
     else:
         st = initial_state(spark, web, seeds, policy)
         frontier, seen, host_state = st["frontier"], st["seen"], st["host_state"]
@@ -112,7 +123,12 @@ def crawl(
     debug = os.environ.get("BWC_DEBUG_TIMING", "") == "1"
     for rnd in range(start_round, policy.max_rounds):
         t0 = time.time()
-        out = run_round(spark, web, frontier, seen, host_state, robots, policy, rnd, bloom)
+        out = run_round(
+            spark, web, frontier, seen, host_state, robots, policy, rnd, bloom,
+            band_hist=band_hist,
+        )
+        if debug:
+            print(f"  round {rnd} construct+dequeue-collect in {time.time() - t0:6.2f}s", flush=True)
         # Warm + metrics FUSED into two jobs (was ~6): job 1 materializes the
         # selected+fetched caches while computing both counts in one pass;
         # job 2 (discovered.count) materializes bloom_delta → tagged →
@@ -129,9 +145,24 @@ def crawl(
         if debug:
             print(f"  round {rnd} jobA fetch+agg in {time.time() - t_warm:6.2f}s", flush=True)
         t_b = time.time()
-        out["additions"].count()
+        # One tiny groupBy over the tagged frontier delta materializes the
+        # whole discover→dedup→merge chain (additions is an upstream cache)
+        # AND yields everything the bookkeeping needs — the frontier-size
+        # arithmetic counts and the per-band deltas for the dequeue band
+        # histogram — with no separate frontier scan for metrics.
+        fd_rows = (
+            out["fdelta_tagged"]
+            .groupBy(
+                F.col("__touched").alias("old_band"),
+                band_col(F.col("priority")).alias("new_band"),
+            )
+            .count()
+            .collect()
+        )
+        fdelta_cnt = sum(r["count"] for r in fd_rows)
+        touched_cnt = sum(r["count"] for r in fd_rows if r["old_band"] > -1000)
         if debug:
-            print(f"  round {rnd} jobB additions in {time.time() - t_b:6.2f}s", flush=True)
+            print(f"  round {rnd} jobB fdelta in {time.time() - t_b:6.2f}s", flush=True)
         if debug:
             print(
                 f"  round {rnd} warm+counts in {time.time() - t_warm:6.2f}s "
@@ -160,10 +191,39 @@ def crawl(
         if debug:
             print(f"  round {rnd} writes done at {time.time() - t0:6.2f}s", flush=True)
 
+        # Exact new-frontier size WITHOUT scanning the frontier: selected
+        # rows leave (dequeued), touched rows move into the delta
+        # (touched_cnt), the delta contributes fdelta_cnt. On compaction
+        # rounds the freshly-written snapshot's footer count is authoritative
+        # (and asserts the arithmetic's invariant cheaply at test scale).
+        if policy.dequeue_band_pruning:
+            if is_compaction:
+                # exact re-base from the snapshot (also zeroes any drift)
+                band_hist = {
+                    int(r["b"]): r["count"]
+                    for r in spark.read.parquet(os.path.join(rd, "frontier"))
+                    .groupBy(band_col(F.col("priority")).alias("b"))
+                    .count()
+                    .collect()
+                }
+            else:
+                # arithmetic update: selected rows leave their band, touched
+                # rows leave their OLD band, every delta row enters its band
+                for r in out["selected_count"].groupBy(
+                    band_col(F.col("priority")).alias("b")
+                ).count().collect():
+                    band_hist[int(r["b"])] = band_hist.get(int(r["b"]), 0) - r["count"]
+                for r in fd_rows:
+                    if r["old_band"] > -1000:
+                        band_hist[int(r["old_band"])] = band_hist.get(int(r["old_band"]), 0) - r["count"]
+                    band_hist[int(r["new_band"])] = band_hist.get(int(r["new_band"]), 0) + r["count"]
+                band_hist = {b: c for b, c in band_hist.items() if c > 0}
         frontier_size = (
-            spark.read.parquet(os.path.join(rd, "frontier")).count()
+            sum(band_hist.values())
+            if policy.dequeue_band_pruning and is_compaction
+            else spark.read.parquet(os.path.join(rd, "frontier")).count()
             if is_compaction
-            else out["frontier"].count()
+            else frontier_size - dequeued - touched_cnt + fdelta_cnt
         )
         seen_size += dequeued
         metrics = ckpt.RoundMetrics(
@@ -175,7 +235,7 @@ def crawl(
             wall_s=time.time() - t0,
         )
         # tables already written: publish manifest atomically (commit point)
-        ckpt.publish_manifest(state_dir, rnd, metrics, base_round)
+        ckpt.publish_manifest(state_dir, rnd, metrics, base_round, band_hist=band_hist)
         for df in out["_cached"]:
             df.unpersist()
         if debug:

@@ -150,12 +150,17 @@ def admit_candidates(raw_urls: DataFrame, depth_col: str, round_no: int, robots:
     return c.select([f.name for f in FRONTIER_SCHEMA.fields])
 
 
-def merge_frontier(parts: DataFrame) -> DataFrame:
+def merge_frontier(parts: DataFrame, tag_col: str | None = None) -> DataFrame:
     """Min-depth merge of frontier entries sharing a canonical URL.
 
     Priority is a strictly depth-decreasing pure function of the URL, so
     keeping the max-(priority), min-(depth) struct keeps the first/shallowest
     discovery — the shared contract with the oracle.
+
+    ``tag_col``: optional int column carried through as ``max(tag_col)`` per
+    key — lets the caller piggyback bookkeeping (e.g. "did any merged row
+    come from the existing frontier") on the same shuffle instead of paying a
+    separate counting job over the frontier.
     """
     best = F.max(
         F.struct(
@@ -165,11 +170,14 @@ def merge_frontier(parts: DataFrame) -> DataFrame:
             F.col("lineage"),
         )
     ).alias("b")
+    aggs = [best, F.max("attempts").alias("attempts")]
+    if tag_col is not None:
+        aggs.append(F.max(tag_col).alias(tag_col))
     return (
         parts.groupBy("url_canon", "url_hash", "host", "path")
         # attempts merges independently of the value struct: a retried entry
         # never loses its attempt count to a fresh rediscovery (T2)
-        .agg(best, F.max("attempts").alias("attempts"))
+        .agg(*aggs)
         .select(
             "url_canon",
             "url_hash",
@@ -180,6 +188,7 @@ def merge_frontier(parts: DataFrame) -> DataFrame:
             F.col("b.round_added").alias("round_added"),
             F.col("b.lineage").alias("lineage"),
             "attempts",
+            *([tag_col] if tag_col is not None else []),
         )
     )
 
@@ -217,10 +226,27 @@ def _fetch_parse_factory(web: SynthWeb):
     return fetch_parse
 
 
+_PINNED_RANK_CACHES: list[DataFrame] = []
+
+
+def release_rank_caches() -> None:
+    """Unpersist rank-cap caches pinned by registry-less dequeue callers.
+    Only call once every DataFrame returned by those calls is fully consumed."""
+    while _PINNED_RANK_CACHES:
+        try:
+            _PINNED_RANK_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 — interpreter/JVM teardown
+            pass
+
+
 def _global_rank_cap(
     survivors: DataFrame, order: list, cap: int, cache_registry: list | None
-) -> DataFrame:
-    """Exact global top-``cap`` + dense seq, distributed.
+) -> tuple[DataFrame, int | None]:
+    """Exact global top-``cap`` + dense seq, distributed; returns
+    ``(ranked, survivors_total)`` — the total is known for free on the
+    large-cap path (sum of the per-partition offset counts; band-pruned
+    dequeues use it to prove the prune kept >= cap rows) and ``None`` on the
+    small-cap path.
 
     For small caps TakeOrderedAndProject + a tiny window is optimal; for
     large caps both serialize (driver merge / single-partition window), so:
@@ -233,7 +259,7 @@ def _global_rank_cap(
     if cap <= 20_000:
         capped = survivors.orderBy(*order).limit(cap)
         wseq = Window.orderBy(*order)
-        return capped.withColumn("seq", (F.row_number().over(wseq) - 1).cast("int"))
+        return capped.withColumn("seq", (F.row_number().over(wseq) - 1).cast("int")), None
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # repartitionByRange SAMPLES its input in a separate job to pick range
@@ -251,7 +277,7 @@ def _global_rank_cap(
     # and the final consumer could place rows in different __pid partitions
     # and the offsets would be wrong (caught by test_global_rank_cap_large_
     # path). Callers pass cache_registry to unpersist after the round; for
-    # direct callers a GC finalizer releases the cache instead of leaking it.
+    # direct callers the caches stay pinned until release_rank_caches().
     if cache_registry is not None:
         cache_registry.append(survivors)
         cache_registry.append(s)
@@ -267,17 +293,32 @@ def _global_rank_cap(
     )
     result = ranked.where(F.col("seq") < cap).drop("__pid", "__off")
     if cache_registry is None:
-        import weakref
+        # No finalizer here — a weakref on `result` fires as soon as the
+        # caller derives a new DataFrame and drops this one, unpersisting the
+        # placement-freezing caches MID-QUERY; a recompute then re-samples the
+        # range boundaries and produces overlapping seq ranges (caught by
+        # tests/test_band_pruning.py). Registry-less callers (tests, tools)
+        # keep the pin for the session; release_rank_caches() frees them.
+        _PINNED_RANK_CACHES.extend((survivors, s))
+    return result, acc
 
-        def _release(dfs=(survivors, s)):
-            for sdf in dfs:
-                try:
-                    sdf.unpersist()
-                except Exception:  # noqa: BLE001 — interpreter/JVM teardown
-                    pass
 
-        weakref.finalize(result, _release)
-    return result
+def band_col(priority: Column) -> Column:
+    """Discrete priority band: priority is a multiple of 0.25 by construction
+    (plans/policy.py), so ``priority*4`` is an exact integer."""
+    return F.round(priority * 4).cast("int")
+
+
+def _band_threshold(band_hist: dict[int, int], target: int) -> int:
+    """Smallest band (scanning from the top) whose cumulative frontier rows
+    reach ``target``; the lowest band if the whole frontier is smaller."""
+    cum = 0
+    bands = sorted(band_hist, reverse=True)
+    for b in bands:
+        cum += band_hist[b]
+        if cum >= target:
+            return b
+    return bands[-1]
 
 
 def dequeue(
@@ -286,27 +327,56 @@ def dequeue(
     policy: CrawlPolicy,
     refill: bool,
     cache_registry: list | None = None,
+    band_hist: dict[int, int] | None = None,
 ) -> DataFrame:
     """Politeness-budgeted, skew-salted priority dequeue (O1/O2/W1/A7).
 
     Returns frontier columns + ``seq`` (dequeue position within the round).
+
+    ``band_hist`` (band -> frontier row count, maintained arithmetically by
+    the crawl loop) enables EXACT band pruning at scale: ranking the whole
+    10^10-row frontier each round to select ~10^6 is O(state) work; with the
+    histogram the scan is restricted to the top priority bands holding >= 2x
+    the cap. Exactness argument: politeness windows order by priority DESC,
+    so dropping strictly-lower bands never changes an included row's
+    row_number; if the pruned survivor count still reaches the cap, every
+    global top-cap row lies in the included bands (anything below the
+    threshold band is outranked by all cap selected rows). When the pruned
+    survivors fall short (budget-starved top bands), one fallback pass runs
+    unpruned — detected from the survivor total the rank-cap computes anyway.
     """
     from bravewebcrawler_spark.operators.politeness import host_budget
 
-    budgeted = frontier.join(host_state, "host", "left").withColumn(
-        "budget", host_budget(policy, refill)
-    )
-
     order = [F.col("priority").desc(), F.col("depth").asc(), F.col("url_hash").asc(), F.col("url_canon").asc()]
-    # phase 1: salted per-(host,salt) prefix — bounds hot-host window size
-    salted = budgeted.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(SALT_N)))
-    w1 = Window.partitionBy("host", "salt").orderBy(*order)
-    phase1 = salted.withColumn("rn1", F.row_number().over(w1)).where(F.col("rn1") <= F.col("budget"))
-    # phase 2: exact per-host prefix over the ≤ SALT_N×budget survivors
-    w2 = Window.partitionBy("host").orderBy(*order)
-    phase2 = phase1.withColumn("rn2", F.row_number().over(w2)).where(F.col("rn2") <= F.col("budget"))
-    # global round cap + seq assignment (distributed for large caps)
-    ranked = _global_rank_cap(phase2, order, policy.max_urls_per_round, cache_registry)
+    cap = policy.max_urls_per_round
+
+    def rank(fr: DataFrame) -> tuple[DataFrame, int | None]:
+        budgeted = fr.join(host_state, "host", "left").withColumn(
+            "budget", host_budget(policy, refill)
+        )
+        # phase 1: salted per-(host,salt) prefix — bounds hot-host window size
+        salted = budgeted.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(SALT_N)))
+        w1 = Window.partitionBy("host", "salt").orderBy(*order)
+        phase1 = salted.withColumn("rn1", F.row_number().over(w1)).where(F.col("rn1") <= F.col("budget"))
+        # phase 2: exact per-host prefix over the ≤ SALT_N×budget survivors
+        w2 = Window.partitionBy("host").orderBy(*order)
+        phase2 = phase1.withColumn("rn2", F.row_number().over(w2)).where(F.col("rn2") <= F.col("budget"))
+        # global round cap + seq assignment (distributed for large caps)
+        return _global_rank_cap(phase2, order, cap, cache_registry)
+
+    prune = (
+        policy.dequeue_band_pruning
+        and band_hist
+        and cap > 20_000  # the small-cap path never reports survivor totals
+    )
+    if prune:
+        thr = _band_threshold(band_hist, 2 * cap)
+        if thr > min(band_hist):
+            pruned, total = rank(frontier.where(band_col(F.col("priority")) >= thr))
+            if total is not None and total >= cap:
+                return pruned.select(*[f.name for f in FRONTIER_SCHEMA.fields], "seq")
+            # fall through: top bands were budget-starved — rank unpruned
+    ranked, _ = rank(frontier)
     return ranked.select(*[f.name for f in FRONTIER_SCHEMA.fields], "seq")
 
 
@@ -320,6 +390,7 @@ def run_round(
     policy: CrawlPolicy,
     round_no: int,
     bloom: DataFrame | None = None,
+    band_hist: dict[int, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Execute one round; returns O(delta) state updates + round outputs.
 
@@ -359,7 +430,10 @@ def run_round(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cached: list[DataFrame] = []
     selected = (
-        dequeue(frontier, host_state, policy, refill=round_no > 0, cache_registry=cached)
+        dequeue(
+            frontier, host_state, policy, refill=round_no > 0,
+            cache_registry=cached, band_hist=band_hist,
+        )
         .repartition(n_part, F.col("url_hash"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -430,21 +504,21 @@ def run_round(
     cached += [selected, fetched, bloom_delta]
     if policy.use_bloom:
         # hash-only membership probe: 12 bytes/candidate through Arrow, hit
-        # hashes back; the row split is two JVM joins against the (small)
-        # hit set — the earlier full-row cogroup round-tripped every
-        # candidate column through Python and dominated the round at scale.
-        # discovered is persisted here because the split scans it twice.
+        # hashes back. A bloom MISS is authoritative (no false negatives), so
+        # only hits need exact confirmation:
+        #   confirmed = hits ∩ seen        (two small sides)
+        #   new       = discovered ⟂ confirmed  (ONE broadcast anti-join)
+        # One anti-join scan of discovered plus the probe's hash-only scan,
+        # and ONE broadcast (≤ |hits|) — the earlier fresh/suspect split
+        # scanned discovered twice more and built three broadcast relations,
+        # a per-round serial cost no parallelism removes.
         discovered = discovered.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(discovered)
         hits = bloom_hits(
             discovered.select("url_hash"), new_bloom, policy.bloom_buckets, policy.bloom_m_bits
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        cached.append(hits)
-        fresh = discovered.join(hits, "url_hash", "left_anti")
-        suspect = discovered.join(hits, "url_hash", "left_semi")
-        discovered = fresh.unionByName(
-            suspect.join(new_seen.select("url_hash"), "url_hash", "left_anti")
         )
+        confirmed = hits.join(new_seen.select("url_hash"), "url_hash", "left_semi")
+        discovered = discovered.join(F.broadcast(confirmed), "url_hash", "left_anti")
     else:
         discovered = discovered.join(new_seen.select("url_hash"), "url_hash", "left_anti")
     # T2 retries: timed-out URLs return to the frontier with attempts+1
@@ -486,15 +560,29 @@ def run_round(
     remaining = frontier.join(F.broadcast(selected_keys), "url_hash", "left_anti")
     touched = remaining.join(F.broadcast(touched_keys), "url_hash", "left_semi")
     untouched = remaining.join(F.broadcast(touched_keys), "url_hash", "left_anti")
-    frontier_delta = merge_frontier(touched.unionByName(additions)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    cached.append(frontier_delta)
+    # __touched piggybacks on the merge shuffle so the caller can derive the
+    # new frontier size ARITHMETICALLY (prev - selected - touched + |delta|)
+    # instead of scanning the full frontier for a metrics count — at a 10^10
+    # frontier an O(state) read per round just for a progress number. The tag
+    # value is the touched row's OLD priority band (NOT a boolean): the same
+    # merge then also yields the per-band removals the dequeue band histogram
+    # needs; -1000 marks brand-new keys (max() keeps the old band when both
+    # versions of a key are present — a frontier key is unique, so at most
+    # one tagged row per key carries a real band).
+    fdelta_tagged = merge_frontier(
+        touched.withColumn("__touched", band_col(F.col("priority"))).unionByName(
+            additions.withColumn("__touched", F.lit(-1000))
+        ),
+        tag_col="__touched",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(fdelta_tagged)
+    frontier_delta = fdelta_tagged.drop("__touched")
     new_frontier = untouched.unionByName(frontier_delta)
 
     return {
         "frontier": new_frontier,
         "frontier_delta": frontier_delta,
+        "fdelta_tagged": fdelta_tagged,
         "seen": new_seen,
         "seen_delta": seen_delta,
         "host_state": new_host_state,

@@ -218,13 +218,18 @@ class SynthWeb:
     def seed_urls(self, n: int) -> list[tuple[str, str]]:
         """n (seed_id, messy_url) pairs — the analog of the reference's
         input CSV rows (company_number, company_name) at brave_processor.py:236-240."""
+        assert n <= self.n_hosts * self.pages_per_host, "more seeds than pages"
         out: list[tuple[str, str]] = []
         used: set[tuple[int, int]] = set()
         i = 0
         while len(out) < n:
+            # host and page come from INDEPENDENT digests: deriving both from
+            # one r as (r % n_hosts, (r // 100) % pages) shares the factor 100
+            # with n_hosts, which collapses the reachable pairs to 3 pages per
+            # host (CRT) — seed_urls(n) then never terminates for n > 3*n_hosts.
             r = _rnd(self.seed, "seed", i)
             host_i = r % self.n_hosts
-            page_j = (r // 100) % self.pages_per_host
+            page_j = _rnd(self.seed, "seedp", i) % self.pages_per_host
             i += 1
             if (host_i, page_j) in used:
                 continue

@@ -33,6 +33,22 @@ def test_kill_resume_equals_uninterrupted(spark, tmp_path_factory):
     assert _log(spark, kill_dir) == full
 
 
+def test_frontier_size_arithmetic_matches_reconstruction(spark, tmp_path_factory):
+    """Non-compaction rounds derive frontier_size arithmetically
+    (prev - selected - touched + |delta|) instead of scanning the frontier;
+    the number must equal the actual reconstructed frontier's cardinality."""
+    seeds = spark.createDataFrame(WEB.seed_urls(8), "seed_id string, url string")
+    d = str(tmp_path_factory.mktemp("fsize"))
+    crawl(spark, WEB, seeds, POLICY, d)
+    last = ckpt.latest_round(d)
+    assert last is not None and last >= 1  # at least one delta round
+    for r in range(last + 1):
+        m = ckpt.load_metrics(d, r)
+        base = ckpt.load_base_round(d, r)
+        actual = ckpt.load_frontier(spark, d, base, r).count()
+        assert m["frontier_size"] == actual, (r, m["frontier_size"], actual)
+
+
 def test_manifest_is_the_commit_point(spark, tmp_path_factory):
     """A round directory without a manifest is invisible to resume."""
     import os

@@ -39,7 +39,9 @@ def test_global_rank_cap_large_path(spark):
     df = _df(spark, 30000)
     order = [F.col("prio").desc(), F.col("h").asc(), F.col("id").asc()]
     cap = 25000  # > 20k threshold -> distributed range-rank path
-    got = {(r["id"], r["seq"]) for r in _global_rank_cap(df, order, cap, None).collect()}
+    ranked, total = _global_rank_cap(df, order, cap, None)
+    assert total == 30000  # survivors total comes free from the offsets job
+    got = {(r["id"], r["seq"]) for r in ranked.collect()}
     w = Window.orderBy(*order)
     expect = {
         (r["id"], r["seq"])
