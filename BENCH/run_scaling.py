@@ -27,7 +27,8 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LEVELS = (2, 8, 32)
+LEVELS = (1, 2, 4, 8, 32)
+PAIRS = ((1, 4), (2, 8), (8, 32))
 
 
 def run_once(cpus: int) -> dict:
@@ -82,14 +83,16 @@ def main() -> None:
                   f"= {r['crawl_urls_per_s']} urls/s", flush=True)
 
     t = {c: results[c]["crawl_urls_per_s"] for c in LEVELS}
-    eff_2_8 = t[8] / (4 * t[2])
-    eff_8_32 = t[32] / (4 * t[8])
-    print(f"efficiency local[2]->local[8]:  {eff_2_8:.3f}")
-    print(f"efficiency local[8]->local[32]: {eff_8_32:.3f}")
+    eff = {(a, b): t[b] / (4 * t[a]) for a, b in PAIRS}
+    for (a, b), e in eff.items():
+        print(f"efficiency local[{a}]->local[{b}]: {e:.3f}")
 
     rows = "\n".join(
         f"| local[{c}] | {results[c]['crawl_urls']} | {results[c]['crawl_wall_s']} | {t[c]} |"
         for c in LEVELS
+    )
+    pair_rows = "\n".join(
+        f"| local[{a}] -> local[{b}] | **{eff[(a, b)]:.3f}** |" for a, b in PAIRS
     )
     md = f"""# BENCH/BASELINE — crawl throughput + scaling efficiency
 
@@ -107,32 +110,53 @@ Measured {datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")} on this 32-
 |---|---|---|---|
 {rows}
 
-| pair (N -> 4N) | efficiency = T(4N) / (4 x T(N)) |
+| pair (N -> 4N) | efficiency = throughput(4N) / (4 x throughput(N)) |
 |---|---|
-| local[2] -> local[8] | **{eff_2_8:.3f}** |
-| local[8] -> local[32] | {eff_8_32:.3f} |
+{pair_rows}
 
-North rule: >= 0.8. The local[2]->local[8] pair is the faithful stand-in for
-an N- vs 4N-executor cluster: every level runs its JVM task threads plus one
-Python worker per slot well under the 32 physical cores. The local[8]->
-local[32] pair is additionally reported; local[32] on a 32-core host runs
-~64+ active threads (task threads + Python workers + shuffle/GC), a 2:1
-oversubscription a real 4N-executor cluster does not experience, plus a
-fixed per-round commit cost (atomic checkpoint manifest) that no parallelism
-can amortize at sandbox scale.
+North rule: >= 0.8. All N->4N pairs that fit this host are reported — this
+is STRONG scaling (fixed input, growing cluster), so efficiency necessarily
+falls as N grows: the per-round fixed costs (plan compile + commit + driver
+job latency, ~10-20 s/round here) are amortized over 250k-500k-URL rounds,
+where a production 100 TB crawl amortizes the same fixed seconds over
+~10^8-URL rounds. The local[1]->local[4] and local[2]->local[8] pairs run
+every level's JVM task threads plus one Python worker per slot far under
+the 32 physical cores — the faithful stand-ins for an N- vs 4N-executor
+cluster. local[8]->local[32] is additionally reported with the structural
+caveat that local[32] on a 32-core host oversubscribes ~2:1 (task threads +
+Python workers + shuffle/GC threads), a penalty a real 4N-executor cluster
+does not pay.
 
 ## What made it scale (measured, not guessed)
 
+Round 1:
 1. The global round-cap `TakeOrderedAndProject` emits ONE partition — the
    fetch `mapInPandas` ran single-task until an explicit repartition by
    url_hash after the cap (plans/round.py).
 2. Concurrent state-table writes duplicated the uncached round pipeline
    (Spark does not dedupe in-flight computation of a persisted partition):
-   cache-warm the round intermediates once, then write serially
-   (plans/crawl.py, plans/checkpoint.py). Round-2 commit: 70s -> 23s.
+   warm the caches first (plans/crawl.py count jobs), THEN write — writes
+   are now concurrent again over warm caches only. Round commit: 70s -> 23s.
 3. Within-round JVM dedup (min-depth hash aggregate) before the seen-set
    machinery: the Arrow cogroup/anti-join sees |unique| rows, not |links|
    (~30x fan-in reduction).
+
+Round 2 (each independently measured at local[2] vs local[8]):
+4. taskset-pinning the whole process tree to N cores: unpinned local[2] got
+   free help from 32 cores of GC/JIT/Python workers a real 2-core executor
+   does not have — efficiency 0.344 -> 0.596 from honest T(2) alone.
+5. repartitionByRange SAMPLES its input in a separate job: without
+   persisting the dequeue survivors first, the two politeness windows
+   computed twice per round (plans/round.py _global_rank_cap).
+6. O(delta) commits (seen append-only, dirty-bucket bloom, frontier
+   base+delta) replaced per-round full-state rewrites.
+7. The per-round frontier-size metric was a full frontier scan + two
+   broadcast anti-joins (19s/round at local[8]); it is now pure arithmetic
+   off a tag piggybacked on the delta-merge shuffle.
+8. Seen-confirmation = bloom-hits ⋉ seen, then ONE broadcast anti-join
+   (was: two scans of discovered + three broadcast builds per round —
+   broadcast construction is driver-serial, an Amdahl term parallelism
+   cannot touch).
 
 ## 10^10-frontier design math (not simulated in data volume)
 
@@ -145,6 +169,14 @@ can amortize at sandbox scale.
   negatives by construction; membership equality is oracle-checked).
 - global round cap via distributed top-K + post-cap repartition; the
   seq-assigning window runs over <= cap rows.
+- EXACT dequeue band pruning (policy.dequeue_band_pruning): priorities are
+  discrete (multiples of 0.25), a per-band histogram is maintained
+  arithmetically (zero extra scans) and persisted in the round manifest;
+  the ranking scan touches only the top bands holding >= 2x the cap, with a
+  budget-starvation fallback — per-round dequeue work becomes O(top bands)
+  instead of O(frontier). Proven pruned == unpruned bit-for-bit in
+  tests/test_band_pruning.py; off at sandbox scale where the histogram job
+  costs more than the saved scan.
 - per-round atomic manifest commit is O(1) driver work independent of
   frontier size; state tables are partitioned parquet (Iceberg-semantics
   seam — swap-in real Iceberg is a write-path change only).

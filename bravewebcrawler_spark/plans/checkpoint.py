@@ -104,6 +104,27 @@ def write_tables(state_dir: str, round_no: int, tables: dict[str, DataFrame]) ->
     return rd
 
 
+def start_writes(
+    state_dir: str, round_no: int, tables: dict[str, DataFrame], pool
+) -> list:
+    """Kick off table writes on ``pool`` and return their futures — lets the
+    caller overlap fetch-derived output writes with the discovery pipeline
+    (the two only share WARM caches, so concurrency is pure overlap). The
+    caller must ``result()`` every future before publishing the manifest."""
+    rd = round_dir(state_dir, round_no)
+    debug = os.environ.get("BWC_DEBUG_TIMING", "") == "1"
+
+    def write_one(name: str) -> None:
+        import time as _time
+
+        t0 = _time.time()
+        tables[name].coalesce(16).write.mode("overwrite").parquet(os.path.join(rd, name))
+        if debug:
+            print(f"    write {name:14s} {_time.time() - t0:6.2f}s (overlapped)", flush=True)
+
+    return [pool.submit(write_one, name) for name in tables]
+
+
 def publish_manifest(
     state_dir: str, round_no: int, metrics: RoundMetrics, base_round: int,
     band_hist: dict[int, int] | None = None,
@@ -186,7 +207,7 @@ def load_frontier(
             for r in range(base_round + 1, round_no + 1)
         ]
         removed = spark.read.parquet(*removed_paths).select("url_hash")
-        frontier = frontier.join(F.broadcast(removed), "url_hash", "left_anti")
+        frontier = frontier.join(removed, "url_hash", "left_anti")
     return frontier
 
 

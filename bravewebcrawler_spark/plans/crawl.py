@@ -121,6 +121,9 @@ def crawl(
 
     total_fetched = 0
     debug = os.environ.get("BWC_DEBUG_TIMING", "") == "1"
+    from concurrent.futures import ThreadPoolExecutor
+
+    write_pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="bwc-write")
     for rnd in range(start_round, policy.max_rounds):
         t0 = time.time()
         out = run_round(
@@ -144,6 +147,18 @@ def crawl(
         dequeued, fetched_ok = counts["n"], counts["ok"]
         if debug:
             print(f"  round {rnd} jobA fetch+agg in {time.time() - t_warm:6.2f}s", flush=True)
+        # fetched-derived outputs need only jobA's warm caches — write them
+        # WHILE jobB (discover→dedup→merge) computes; pure wall-clock overlap
+        early_futs = ckpt.start_writes(
+            state_dir, rnd,
+            {
+                "seen": out["seen_delta"],
+                "host_state": out["host_state"],
+                "documents": out["documents"],
+                "crawl_log": out["crawl_log"],
+            },
+            write_pool,
+        )
         t_b = time.time()
         # One tiny groupBy over the tagged frontier delta materializes the
         # whole discover→dedup→merge chain (additions is an upstream cache)
@@ -173,13 +188,10 @@ def crawl(
         # Commit O(delta): seen/bloom/frontier deltas every round; a full
         # frontier+bloom snapshot every compact_every rounds bounds both the
         # reconstruction read fan-in and the lazy cross-round plan depth.
+        # (seen/host_state/documents/crawl_log are already writing, started
+        # right after jobA.)
         is_compaction = rnd % max(policy.compact_every, 1) == 0
-        tables = {
-            "seen": out["seen_delta"],
-            "host_state": out["host_state"],
-            "documents": out["documents"],
-            "crawl_log": out["crawl_log"],
-        }
+        tables = {}
         if is_compaction:
             base_round = rnd
             tables["frontier"] = out["frontier"]
@@ -188,6 +200,8 @@ def crawl(
             tables["frontier_delta"] = out["frontier_delta"]
             tables["bloom_delta"] = out["bloom_delta"].withColumn("round", F.lit(rnd))
         rd = ckpt.write_tables(state_dir, rnd, tables)
+        for f in early_futs:  # all tables durable before the manifest commit
+            f.result()
         if debug:
             print(f"  round {rnd} writes done at {time.time() - t0:6.2f}s", flush=True)
 
@@ -253,9 +267,11 @@ def crawl(
         else:
             fdelta = spark.read.parquet(os.path.join(rd, "frontier_delta"))
             removed = spark.read.parquet(os.path.join(rd, "seen")).select("url_hash")
+            # no broadcast hints: AQE picks broadcast only when the delta is
+            # genuinely small (see the matching note in plans/round.py)
             frontier = (
-                frontier.join(F.broadcast(removed), "url_hash", "left_anti")
-                .join(F.broadcast(fdelta.select("url_hash")), "url_hash", "left_anti")
+                frontier.join(removed, "url_hash", "left_anti")
+                .join(fdelta.select("url_hash"), "url_hash", "left_anti")
                 .unionByName(fdelta)
             )
             bloom = ckpt.load_bloom(spark, state_dir, base_round, rnd)
@@ -264,6 +280,7 @@ def crawl(
         if stop_after_round is not None and rnd >= stop_after_round:
             break
 
+    write_pool.shutdown(wait=True)
     return {
         "last_round": ckpt.latest_round(state_dir),
         "total_dequeued": total_fetched,

@@ -518,7 +518,7 @@ def run_round(
             discovered.select("url_hash"), new_bloom, policy.bloom_buckets, policy.bloom_m_bits
         )
         confirmed = hits.join(new_seen.select("url_hash"), "url_hash", "left_semi")
-        discovered = discovered.join(F.broadcast(confirmed), "url_hash", "left_anti")
+        discovered = discovered.join(confirmed, "url_hash", "left_anti")
     else:
         discovered = discovered.join(new_seen.select("url_hash"), "url_hash", "left_anti")
     # T2 retries: timed-out URLs return to the frontier with attempts+1
@@ -555,11 +555,17 @@ def run_round(
     # their current frontier version; all other rows are untouched and NEVER
     # shuffled or rewritten. Both key sets are round-bounded → broadcast
     # (map-side) anti/semi joins.
+    # No broadcast hints here: both key sets are round-bounded but can reach
+    # tens of millions at a real fan-out (past any broadcast limit), and a
+    # forced-broadcast build is driver-SERIAL time no parallelism removes.
+    # Declared as plain joins, AQE converts to broadcast when the runtime
+    # size is under spark.sql.adaptive.autoBroadcastJoinThreshold and keeps
+    # the (parallel, scalable) shuffle join otherwise.
     selected_keys = selected.select("url_hash")
     touched_keys = additions.select("url_hash")
-    remaining = frontier.join(F.broadcast(selected_keys), "url_hash", "left_anti")
-    touched = remaining.join(F.broadcast(touched_keys), "url_hash", "left_semi")
-    untouched = remaining.join(F.broadcast(touched_keys), "url_hash", "left_anti")
+    remaining = frontier.join(selected_keys, "url_hash", "left_anti")
+    touched = remaining.join(touched_keys, "url_hash", "left_semi")
+    untouched = remaining.join(touched_keys, "url_hash", "left_anti")
     # __touched piggybacks on the merge shuffle so the caller can derive the
     # new frontier size ARITHMETICALLY (prev - selected - touched + |delta|)
     # instead of scanning the full frontier for a metrics count — at a 10^10

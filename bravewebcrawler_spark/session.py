@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime-sized intermediates (the crawl's per-round key deltas)
+        # convert to broadcast only when genuinely small; a bigger delta
+        # keeps the parallel shuffle join instead of paying a driver-serial
+        # multi-MB broadcast build every round. Statically-known small dims
+        # still broadcast under the 64 MB planner threshold above.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
         # Throughput GC: G1's pause-time goal thrashes under 32 task threads'
         # allocation rate (measured: 226s -> 102s on the crawl bench at
