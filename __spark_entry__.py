@@ -508,6 +508,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10, n_planes=8)
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query probes its bucket + the n_planes
+    Hamming-1 buckets — the standard recall fix for single-probe sign-LSH
+    (operators/similarity.py multiprobe_lsh_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return SIM.multiprobe_lsh_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10, n_planes=8)
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < ANN_N_QUERIES)
@@ -774,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": embed_neardup,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_lsh_multiprobe": ann_lsh_multiprobe,
         "ann_ivf_topk": ann_ivf_topk,
         "multimodal_meta": multimodal_meta,
         "stream_window_counts": stream_window_counts,
@@ -1169,6 +1179,24 @@ def oracle_sql() -> dict[str, str]:
                          {_SQL_DOT.format(a="qv", b="cv")}
                          / (sqrt({_SQL_DOT.format(a="qv", b="qv")}) * sqrt({_SQL_DOT.format(a="cv", b="cv")})) as cos_raw
                        from c join q using (bucket) where query_id <> neighbor_id),
+            ranked as (select query_id, neighbor_id, cos_raw,
+                         row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
+                       from scored)
+            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) as cosine
+            from ranked where rnk <= 10
+        """,
+        "ann_lsh_multiprobe": f"""
+            with qraw as (select vec_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as v from embeddings where vec_id < {ANN_N_QUERIES}),
+            craw as (select vec_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as v from embeddings),
+            q as (select vec_id as query_id, v as qv, cast({_sql_bucket("v")} as bigint) as bucket0 from qraw),
+            probes as (select query_id, qv,
+                         unnest(list_prepend(bucket0, list_transform(range(0, 8), p -> xor(bucket0, cast(1 as bigint) << p)))) as bucket
+                       from q),
+            c as (select vec_id as neighbor_id, v as cv, cast({_sql_bucket("v")} as bigint) as bucket from craw),
+            scored as (select query_id, neighbor_id,
+                         {_SQL_DOT.format(a="qv", b="cv")}
+                         / (sqrt({_SQL_DOT.format(a="qv", b="qv")}) * sqrt({_SQL_DOT.format(a="cv", b="cv")})) as cos_raw
+                       from c join probes using (bucket) where query_id <> neighbor_id),
             ranked as (select query_id, neighbor_id, cos_raw,
                          row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
                        from scored)
