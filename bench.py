@@ -49,6 +49,7 @@ HEADLINE = [
     "text_token_stats",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe",
     "stream_window_counts",
     "multimodal_meta",
 ]
