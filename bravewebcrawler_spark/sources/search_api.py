@@ -180,6 +180,137 @@ def search_candidates(
     return companies.select("seed_id", "company").mapInPandas(fetch, CANDIDATE_SCHEMA)
 
 
+WIKIDATA_API_URL = "https://www.wikidata.org/w/api.php"
+
+# Wikidata two-hop outcome: one row per input company, always
+WIKIDATA_SCHEMA = "seed_id string, company string, status string, error string, qid string, url string"
+
+
+def wikidata_search_request(company: str, base_url: str = WIKIDATA_API_URL) -> tuple[str, dict]:
+    """Hop 1 (entity search) — search_common.py:292-299."""
+    params = {
+        "action": "wbsearchentities",
+        "format": "json",
+        "language": "de",
+        "uselang": "de",
+        "type": "item",
+        "search": company,
+    }
+    return f"{base_url}?{urlencode(params)}", {}
+
+
+def wikidata_claims_request(qid: str, base_url: str = WIKIDATA_API_URL) -> tuple[str, dict]:
+    """Hop 2 (P856 official-website claims) — search_common.py:340-346."""
+    params = {"action": "wbgetclaims", "format": "json", "entity": qid, "property": "P856"}
+    return f"{base_url}?{urlencode(params)}", {}
+
+
+def resolve_qid(company: str, search_results: list[dict]) -> str | None:
+    """The reference's QID cascade (O7, search_common.py:311-336):
+    exact label/alias match → label containment → first result with a
+    description → first result. Aliases are matched as the reference
+    INTENDS (its alias loop iterates dict keys and can only throw — a
+    reference bug; wbsearchentities actually returns aliases as a list of
+    strings, which is what this accepts, plus {language,value} dicts).
+    """
+    want = company.lower()
+    for res in search_results:
+        aliases = []
+        for a in res.get("aliases", []) or []:
+            if isinstance(a, str):
+                aliases.append(a.lower())
+            elif isinstance(a, dict) and a.get("value") and a.get("language", "de") == "de":
+                aliases.append(a["value"].lower())
+        if want == res.get("label", "").lower() or want in aliases:
+            return res.get("id")
+    for res in search_results:
+        if want in res.get("label", "").lower():
+            return res.get("id")
+    first_with_desc = next((r.get("id") for r in search_results if r.get("description")), None)
+    if first_with_desc:
+        return first_with_desc
+    return search_results[0].get("id") if search_results else None
+
+
+def select_claim_url(claims: list[dict]) -> str | None:
+    """O6 rank preference over P856 claims (search_common.py:355-378):
+    skip deprecated; first ``preferred``-rank http(s) URL wins, else the
+    first ``normal``-rank one; hostless and blacklisted hosts are skipped."""
+    from urllib.parse import urlparse
+
+    from bravewebcrawler_spark.functions.canon import is_blacklisted_py
+
+    preferred = None
+    normal = None
+    for claim in claims:
+        if claim.get("rank") == "deprecated":
+            continue
+        snak = claim.get("mainsnak") or {}
+        val = (snak.get("datavalue") or {}).get("value")
+        if not isinstance(val, str) or not val.startswith(("http://", "https://")):
+            continue
+        host = urlparse(val).hostname
+        if not host or is_blacklisted_py(host):
+            continue
+        if claim.get("rank") == "preferred":
+            preferred = val
+            break
+        if normal is None:
+            normal = val
+    return preferred or normal
+
+
+def wikidata_homepage(
+    companies: DataFrame,
+    base_url: str = WIKIDATA_API_URL,
+    timeout_s: float = 5.0,
+) -> DataFrame:
+    """S6: the two-hop external-dimension lookup as a real HTTP operator —
+    entity search → QID cascade → P856 claims → rank-preferred URL, one row
+    per company with a status (the reference collapses every failure to
+    ``None``, search_common.py:290-391; the status column keeps the why).
+    """
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for seed_id, company in zip(pdf["seed_id"], pdf["company"]):
+                url1, h1 = wikidata_search_request(company, base_url)
+                status, body, err = _fetch_one(url1, h1, timeout_s)
+                if body is None:
+                    rows.append((seed_id, company, status, (err or "")[:30], None, None))
+                    continue
+                try:
+                    search_results = json.loads(body).get("search", [])
+                except json.JSONDecodeError:
+                    rows.append((seed_id, company, "JSON_DECODE_ERROR", body[:30], None, None))
+                    continue
+                qid = resolve_qid(company, search_results)
+                if not qid:
+                    rows.append((seed_id, company, "NO_ENTITY", None, None, None))
+                    continue
+                url2, h2 = wikidata_claims_request(qid, base_url)
+                status, body, err = _fetch_one(url2, h2, timeout_s)
+                if body is None:
+                    rows.append((seed_id, company, status, (err or "")[:30], qid, None))
+                    continue
+                try:
+                    claims = json.loads(body).get("claims", {}).get("P856", [])
+                except json.JSONDecodeError:
+                    rows.append((seed_id, company, "JSON_DECODE_ERROR", body[:30], qid, None))
+                    continue
+                homepage = select_claim_url(claims)
+                if homepage:
+                    rows.append((seed_id, company, "WIKIDATA_OK", None, qid, homepage))
+                else:
+                    rows.append((seed_id, company, "NO_CLAIM", None, qid, None))
+            yield pd.DataFrame(
+                rows, columns=["seed_id", "company", "status", "error", "qid", "url"]
+            )
+
+    return companies.select("seed_id", "company").mapInPandas(fetch, WIKIDATA_SCHEMA)
+
+
 def shape_candidates(cands: DataFrame) -> DataFrame:
     """P2 candidate shaping on raw API rows — identical to the reference's
     post-API loop (search_common.py:236-276): drop hostless and blacklisted

@@ -38,6 +38,26 @@ GOOGLE_ITEMS = {
 }
 
 
+WIKIDATA_SEARCH = {
+    "search": [
+        {"id": "Q1", "label": "Acme Holding", "description": "parent", "aliases": []},
+        {"id": "Q2", "label": "Acme AG", "description": "swiss firm", "aliases": ["ACME"]},
+        {"id": "Q3", "label": "Unrelated", "aliases": []},
+    ]
+}
+
+WIKIDATA_CLAIMS = {
+    "claims": {
+        "P856": [
+            {"rank": "deprecated", "mainsnak": {"datavalue": {"value": "https://old.acme.ch/"}}},
+            {"rank": "normal", "mainsnak": {"datavalue": {"value": "https://ads.example/acme"}}},
+            {"rank": "normal", "mainsnak": {"datavalue": {"value": "https://acme.ch/"}}},
+            {"rank": "preferred", "mainsnak": {"datavalue": {"value": "https://www.acme.ch/"}}},
+        ]
+    }
+}
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # silence
         pass
@@ -72,6 +92,23 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(200, json.dumps({"web": {"results": []}}))
         if u.path == "/badjson":
             return self._reply(200, "this is not json {{{")
+        if u.path == "/wikidata":
+            action = q.get("action", [""])[0]
+            if q.get("format") != ["json"]:
+                return self._reply(400, '{"error": "format"}')
+            if action == "wbsearchentities":
+                if q.get("language") != ["de"] or q.get("type") != ["item"]:
+                    return self._reply(400, '{"error": "params"}')
+                if q.get("search", [""])[0] == "Nowhere GmbH":
+                    return self._reply(200, json.dumps({"search": []}))
+                return self._reply(200, json.dumps(WIKIDATA_SEARCH))
+            if action == "wbgetclaims":
+                if q.get("property") != ["P856"]:
+                    return self._reply(400, '{"error": "property"}')
+                if q.get("entity") == ["Q2"]:
+                    return self._reply(200, json.dumps(WIKIDATA_CLAIMS))
+                return self._reply(200, json.dumps({"claims": {}}))
+            return self._reply(400, '{"error": "action"}')
         if u.path == "/slow":
             time.sleep(3)
             return self._reply(200, json.dumps(BRAVE_RESULTS))
@@ -171,6 +208,47 @@ def test_shape_candidates_reference_order(spark, server):
     assert shaped[0]["host"] == "acme.ch" and shaped[0]["rank"] == 1
     assert shaped[0]["is_ch_domain"] and shaped[0]["company_match_in_host"]
     assert shaped[1]["host"] == "acme-tools.com" and shaped[1]["rank"] == 2
+
+
+def test_resolve_qid_cascade():
+    res = WIKIDATA_SEARCH["search"]
+    # exact label match beats order
+    assert sa.resolve_qid("Acme AG", res) == "Q2"
+    # alias match (string-list form, the real API shape) beats containment
+    assert sa.resolve_qid("ACME", res) == "Q2"
+    # containment fallback
+    assert sa.resolve_qid("Holding", res) == "Q1"
+    # first-with-description fallback
+    assert sa.resolve_qid("zzz", res) == "Q1"
+    assert sa.resolve_qid("x", []) is None
+
+
+def test_select_claim_url_rank_preference():
+    claims = WIKIDATA_CLAIMS["claims"]["P856"]
+    # preferred wins over earlier normals; deprecated + blacklisted skipped
+    assert sa.select_claim_url(claims) == "https://www.acme.ch/"
+    no_pref = [c for c in claims if c["rank"] != "preferred"]
+    assert sa.select_claim_url(no_pref) == "https://acme.ch/"
+    assert sa.select_claim_url([claims[0]]) is None
+
+
+def test_wikidata_two_hop_end_to_end(spark, server):
+    out = sa.wikidata_homepage(
+        _companies(spark, ["Acme AG", "Nowhere GmbH", "Holding"]), base_url=f"{server}/wikidata"
+    ).collect()
+    by_company = {r["company"]: r for r in out}
+    ok = by_company["Acme AG"]
+    assert (ok["status"], ok["qid"], ok["url"]) == ("WIKIDATA_OK", "Q2", "https://www.acme.ch/")
+    assert by_company["Nowhere GmbH"]["status"] == "NO_ENTITY"
+    # "Holding" resolves to Q1 via containment, but Q1 has no P856 claims
+    assert (by_company["Holding"]["status"], by_company["Holding"]["qid"]) == ("NO_CLAIM", "Q1")
+
+
+def test_wikidata_http_error_status(spark, server):
+    out = sa.wikidata_homepage(
+        _companies(spark, ["Acme AG"]), base_url=f"{server}/missing"
+    ).collect()
+    assert len(out) == 1 and out[0]["status"] == "HTTP_404"
 
 
 def test_failure_rows_kept_in_shaping(spark, server):
