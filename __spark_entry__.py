@@ -544,6 +544,29 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_agg_batch(_t(spark, sf_dir, "events"))
 
 
+_STATEFUL_Q_SEQ = iter(range(1, 1 << 30))
+
+
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) run to
+    completion over the events table: per-user running (count, sum, max)
+    maintained in explicit GroupState across micro-batches
+    (streaming/stateful.py). The FINAL state per key equals the batch
+    aggregate, which is what the DuckDB oracle checks — the cross-batch
+    state maintenance itself is proven by tests/test_streaming.py."""
+    from bravewebcrawler_spark.streaming.stateful import run_stateful_to_memory
+
+    out = run_stateful_to_memory(
+        spark, f"{sf_dir}/events.parquet", name=f"stateful_q{next(_STATEFUL_Q_SEQ)}"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
 def p6_relevance_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 relevance pre-check (search_common.py:395-461): token match vs
     title/domain, generic-title guard (F13), HTTP-error policy — over a
@@ -787,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "multimodal_meta": multimodal_meta,
         "stream_window_counts": stream_window_counts,
+        "stream_stateful_user_stats": stream_stateful_user_stats,
         "p6_relevance_precheck": p6_relevance_precheck,
         "p3_host_match": p3_host_match,
         "o3_source_cascade": o3_source_cascade,
@@ -1246,6 +1270,12 @@ def oracle_sql() -> dict[str, str]:
             select cast(floor(epoch(ts) / 300) * 300 as bigint) as win_start,
                    event_type, count(*) as n, round(sum(value), 4) as sum_value
             from events group by 1, 2
+        """,
+        "stream_stateful_user_stats": """
+            select user_id, count(*) as n_events,
+                   round(sum(value), 4) as sum_value,
+                   round(max(value), 4) as max_value
+            from events group by user_id
         """,
         "p6_relevance_precheck": r"""
             with d as (

@@ -56,6 +56,15 @@ def running_user_stats_stream(spark: SparkSession, events_path: str) -> DataFram
 
 
 def run_stateful_to_memory(spark: SparkSession, events_path: str, name: str = "stateful_out") -> DataFrame:
+    # the streaming file source requires a DIRECTORY; accept a bare parquet
+    # file (the testdata layout) by streaming a temp dir that symlinks it
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="bwc_stream_")
+        os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
+        events_path = d
     q = (
         running_user_stats_stream(spark, events_path)
         .writeStream.outputMode("update")
