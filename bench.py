@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
     "stream_window_counts",
+    "stream_stateful_user_stats",
     "multimodal_meta",
 ]
 

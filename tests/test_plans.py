@@ -46,3 +46,23 @@ def test_anti_join_stays_hash_based(spark, sf_dir):
     plan = _plan(E.j2_anti_join(spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan  # never a theta anti-join
+
+
+def test_multiprobe_broadcasts_probes_not_corpus(spark, sf_dir):
+    plan = _plan(E.ann_lsh_multiprobe(spark, sf_dir))
+    # the (tiny) query-probe side is the broadcast build; the corpus is
+    # scanned in place — a shuffled corpus here would be the 10^10-vector
+    # scale-killer
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_search_api_fetch_is_arrow_batched(spark):
+    # the HTTP sources must stay on the Arrow batch path (mapInPandas), never
+    # a row-at-a-time PythonUDF
+    from bravewebcrawler_spark.sources.search_api import search_candidates
+
+    df = spark.createDataFrame([("s0", "Acme AG")], "seed_id string, company string")
+    plan = _plan(search_candidates(df, "brave", "k", base_url="http://127.0.0.1:9/x"))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
