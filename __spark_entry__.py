@@ -433,6 +433,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fp"))
 
 
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus preparation pipeline — the 100-TB daily
+    job, end to end: quality gate → exact dedup (keep-first per content hash)
+    → MinHash-LSH near-dup removal refined by exact Jaccard (drop the higher
+    id of each confirmed pair) → per-language corpus stats. Every stage is
+    the already-oracle-verified operator; this query proves they COMPOSE
+    (filters before dedup shrink the shingle self-join; the LSH candidate
+    set is computed on the filtered corpus only)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    q = corpus.withColumn("quality", TX.quality_score_col(F.col("text")))
+    kept = q.where(F.col("quality") >= 0.65)
+    keepers = kept.groupBy(F.md5(F.col("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    uniq = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    pairs = DD.lsh_refined_pairs(uniq, "doc_id", "text", k=3, threshold=0.6)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = uniq.join(drops, "doc_id", "left_anti")
+    return (
+        final.select(
+            TX.lang_id_col(F.col("text")).alias("lang_guess"),
+            TX.bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe"),
+            "quality",
+        )
+        .groupBy("lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bpe").cast("long").alias("total_bpe_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -796,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_lsh_refined": dedup_lsh_refined,
+        "corpus_prep": corpus_prep,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "embed_neardup_lsh": embed_neardup_lsh,
@@ -1095,6 +1127,60 @@ def oracle_sql() -> dict[str, str]:
               select id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 4) as jaccard
               from inter join sizes sa on sa.doc = id_a join sizes sb on sb.doc = id_b)
             where jaccard >= 0.6
+        """,
+        "corpus_prep": f"""
+            {_SQL_CORPUS},
+            ql as (select doc_id, text,
+                     floor((cast(0.4 as double) * least(length(text) / cast(500.0 as double), cast(1.0 as double))
+                          + cast(0.3 as double) * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                                                         / cast(greatest(length(text), 1) as double))
+                          + cast(0.3 as double) * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                                   / cast(greatest(length(text), 1) as double))) * 10000) / 10000 as quality
+                   from corpus),
+            kept as (select * from ql where quality >= 0.65),
+            keepers as (select min(doc_id) as doc_id from kept group by md5(text)),
+            uniq as (select k.* from kept k join keepers u using (doc_id)),
+            tk2 as (select doc_id as doc, {DD.sql_shingles('text', 3)} as sh,
+                           list_filter(string_split(text, ' '), t -> t <> '') as toks
+                    from uniq),
+            sig as (select doc,
+                      list_transform(range(0, 16), j ->
+                        list_min(list_transform(sh, s -> (({_SQL_MINHASH_H}) * (2*j+3) + (5*j+7)) % 1000000007))) as sig
+                    from tk2 where len(toks) >= 3),
+            banded as (select doc, b as band,
+                         list_reduce(list_prepend(cast(0 as bigint), list_slice(sig, b*4+1, b*4+4)),
+                                     (acc, v) -> (acc * 31 + v) % 1000000007) as band_key
+                       from sig cross join range(4) t(b)),
+            cand as (select distinct a.doc as id_a, b.doc as id_b
+                     from banded a join banded b
+                       on a.band = b.band and a.band_key = b.band_key and a.doc < b.doc),
+            shg as (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from uniq),
+            sizes as (select doc, count(*) as sz from shg group by 1),
+            inter as (select id_a, id_b, count(*) as n_inter
+                      from cand
+                      join shg a on a.doc = id_a
+                      join shg b2 on b2.doc = id_b and b2.sh = a.sh
+                      group by 1, 2),
+            refined as (select id_a, id_b from (
+                          select id_a, id_b, n_inter / (sa.sz + sb.sz - n_inter) as jaccard
+                          from inter join sizes sa on sa.doc = id_a join sizes sb on sb.doc = id_b)
+                        where jaccard >= 0.6),
+            final as (select * from uniq where doc_id not in (select id_b from refined)),
+            feat as (select quality,
+                       len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^A-Za-z\\d\\s]')) as bpe,
+                       len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is'], t))) as s_en,
+                       len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht','ist','ein'], t))) as s_de,
+                       len(list_filter(toks, t -> list_contains(['le','la','les','et','de','un','est'], t))) as s_fr
+                     from (select quality, text, list_filter(string_split(lower(text), ' '), t -> t <> '') as toks
+                           from final))
+            select lang_guess, count(*) as n_docs,
+                   cast(sum(bpe) as bigint) as total_bpe_tokens,
+                   round(avg(quality), 4) as avg_quality
+            from (select case when s_de >= s_en and s_de >= s_fr then 'de'
+                              when s_en >= s_fr then 'en' else 'fr' end as lang_guess,
+                         bpe, quality
+                  from feat)
+            group by 1
         """,
         "dedup_simhash": f"""
             {_SQL_CORPUS},

@@ -41,6 +41,7 @@ HEADLINE = [
     "w3_running_metrics",
     "dedup_minhash_lsh",
     "dedup_lsh_refined",
+    "corpus_prep",
     "dedup_exact",
     "facts_per_seed",
     "embed_neardup_lsh",
