@@ -486,11 +486,20 @@ def run_round(
         .where(F.col("url").isNotNull())
         .select("url", (F.col("depth") + 1).alias("link_depth"))
     )
-    discovered = admit_candidates(discovered_raw, "link_depth", round_no + 1, robots, policy)
-    # Within-round dedup FIRST (JVM hash aggregate): a page fan-out of ~30
-    # links means most discoveries are duplicates — collapsing them before
-    # the seen-set machinery keeps the Arrow cogroup (bloom) or the anti-join
-    # input at |unique| instead of |links|.
+    # RAW-link dedup BEFORE canonicalization: a page fan-out of ~30 links
+    # means most discoveries are duplicates, so collapsing on the raw string
+    # first (map-side partial agg + one skinny (url, min depth) shuffle) runs
+    # the expensive canonicalize/hash/priority battery on |unique| rows, not
+    # |links| (~30x less CPU+GC; measured 2x round-1 jobB at bench scale).
+    # min(depth) keeps the shallowest discovery — the same contract
+    # merge_frontier applies after canonical aliases collapse, so the final
+    # (priority, depth) per canonical key is unchanged. The shuffle is the
+    # same row COUNT a canonical-first merge pays, but ~60-byte rows instead
+    # of fully-shaped frontier entries.
+    discovered_uniq = discovered_raw.groupBy("url").agg(F.min("link_depth").alias("link_depth"))
+    discovered = admit_candidates(discovered_uniq, "link_depth", round_no + 1, robots, policy)
+    # Canonical-alias dedup (tiny: only raw forms that differ but canonicalize
+    # equal remain) — also what keeps the bloom/anti-join input at |unique|.
     discovered = merge_frontier(discovered)
     # J2 dedup: the exact anti-join is always the authority; with use_bloom
     # the bucketed bloom splits candidates so only bloom HITS pay the join

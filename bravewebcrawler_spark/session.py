@@ -31,15 +31,19 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # ~1x cores locally; on a real cluster pass 2-3x total executor cores.
+        # Default ~1x cores locally; SPARK_GRAFT_SHUFFLE_MULT raises it (2-3x
+        # cores gives multi-wave stages whose stragglers rebalance — what a
+        # real cluster runs; on one pass 2-3x total executor cores).
         n = int(master[master.index("[") + 1 : -1]) if "[" in master else cpus
-        shuffle_partitions = max(n, 8)
+        mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1"))
+        shuffle_partitions = max(n * mult, 8)
 
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") == "1"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -98,11 +98,21 @@ def profile(cpus: int) -> None:
 
     admitted = admit_candidates(raw, "d", 1, robots, POLICY).persist(StorageLevel.MEMORY_AND_DISK)
     n = admitted.count()
-    t0 = lap(f"canon+admit ({n})", t0)
+    t0 = lap(f"canon+admit OLD-shape ({n})", t0)
 
-    merged = merge_frontier(admitted).persist(StorageLevel.MEMORY_AND_DISK)
+    merged_old = merge_frontier(admitted).persist(StorageLevel.MEMORY_AND_DISK)
+    n = merged_old.count()
+    t0 = lap(f"merge OLD-shape ({n})", t0)
+    merged_old.unpersist()
+    admitted.unpersist()
+
+    # the shape run_round actually uses now: raw-string dedup BEFORE canon
+    uniq = raw.groupBy("url").agg(F.min("d").alias("d"))
+    merged = merge_frontier(admit_candidates(uniq, "d", 1, robots, POLICY)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n = merged.count()
-    t0 = lap(f"within-round merge ({n})", t0)
+    t0 = lap(f"dedup+canon+merge NEW-shape ({n})", t0)
 
     bloom_delta, new_bloom = bloom_insert_delta(
         bloom, selected.select("url_hash"), POLICY.bloom_buckets, POLICY.bloom_m_bits
