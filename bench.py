@@ -68,30 +68,33 @@ def bench_crawl(spark) -> dict:
     # driver costs (plan codegen, broadcast builds, commit, AQE re-planning)
     # are noise there. Small rounds make those fixed seconds a visible
     # "serial fraction" no parallelism can touch, understating the scaling a
-    # production round sees; 600k seeds + a 1.2M round cap keeps the bench
+    # production round sees; 400k seeds + an 800k round cap keeps the bench
     # honest about the parallel fraction while finishing in minutes
-    # (measured serial floor ~71 s/run vs ~25 min of 1-core parallel work).
-    # Politeness budget: capacity 65 x 20k hosts = 1.3M > cap, so the cap
-    # (not the budget) bounds the round. Bloom sized to the workload (~1.8M
-    # keys over 2 rounds): 128 buckets x 2^18 bits = 4 MB at ~18 bits/key
-    # (k=7 -> FPR ~0.2%; the bloom never decides membership anyway). (At
+    # (measured serial floor ~71 s/run vs ~25 min of 1-core parallel work;
+    # a 1.5x-bigger 600k/1.2M variant measured the same efficiency within
+    # host noise — see BENCH/BASELINE.md appendix — so the smaller, faster
+    # config is the configured bench).
+    # Politeness budget: capacity 50 x 20k hosts = 1M > cap, so the cap
+    # (not the budget) bounds the round. Bloom sized to the workload (~1.3M
+    # keys over 2 rounds): 128 buckets x 2^18 bits = 4 MB at ~25 bits/key
+    # (k=7 -> FPR well under 1%; the bloom never decides membership). (At
     # 10^10 keys: scale bloom_buckets, keep ~32 KB/bucket — one Arrow batch
     # per task.)
     policy = CrawlPolicy(
-        capacity=65.0, rate=65.0, max_urls_per_round=1200000, max_rounds=2,
+        capacity=50.0, rate=50.0, max_urls_per_round=800000, max_rounds=2,
         max_depth=8,
         use_bloom=os.environ.get("SPARK_GRAFT_BLOOM", "1") == "1",
         bloom_buckets=128, bloom_m_bits=1 << 18,
     )
     # Seeds come from parquet, not a driver-local list: the reference reads
-    # its input CSV from disk, and driver-side pickling of a 600k-row Python
+    # its input CSV from disk, and driver-side pickling of a 400k-row Python
     # list inside the timed region would add a level-independent constant.
     seeds_path = os.path.join(
         os.environ.get("SPARK_GRAFT_STATE_DIR_BASE", tempfile.gettempdir()),
         "bench_seeds.parquet",
     )
     spark.createDataFrame(
-        web.seed_urls(600000), "seed_id string, url string"
+        web.seed_urls(400000), "seed_id string, url string"
     ).coalesce(4).write.mode("overwrite").parquet(seeds_path)
     seeds = spark.read.parquet(seeds_path)
     # SPARK_GRAFT_STATE_DIR_BASE=/dev/shm/... for scaling runs: a real

@@ -27,6 +27,28 @@ MESSY = [
     "http://h.example/",
     "http://h.example",
     "  http://pad.example/p  ",
+    # adversarial inputs for the one-pass '#'-delimited extraction: the
+    # delimiter itself, fragments, multi-'#', control chars, degenerate URLs
+    "",
+    "   ",
+    "#",
+    "a#b",
+    "http://h.ch/p#frag",
+    "http://h.ch/p/?a=1#x#y",
+    "http://h.ch:80/q?b=2&a=1#f",
+    "://weird",
+    "a b://x",
+    "\x01weird\x01",
+    "http://h.ch/\x01?\x01=2&a=1",
+    "host:999/p",
+    "?onlyquery",
+    "#onlyfrag",
+    "http://h.ch//",
+    "http://h.ch/p///",
+    "s3+x.y://bucket/k",
+    "1http://h/p",
+    "ftp://x.y:21/z",
+    "http://h.ch/p?",
 ]
 
 
