@@ -286,12 +286,18 @@ def _global_rank_cap(
     for pid in sorted(sizes):
         offsets.append((pid, acc))
         acc += sizes[pid]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(*order)
-    ranked = s.join(F.broadcast(off_df), "__pid").withColumn(
-        "seq", (F.col("__off") + F.row_number().over(w) - 1).cast("int")
+    # offsets as a literal map lookup, NOT a broadcast join: a broadcast
+    # build is driver-serial seconds per round (an Amdahl term), while this
+    # ~n_part-entry CASE/map evaluates inside the same codegen stage.
+    off_map = F.create_map(
+        *[F.lit(v) for pair in (offsets or [(0, 0)]) for v in pair]
     )
-    result = ranked.where(F.col("seq") < cap).drop("__pid", "__off")
+    w = Window.partitionBy("__pid").orderBy(*order)
+    ranked = s.withColumn(
+        "seq",
+        (F.element_at(off_map, F.col("__pid")) + F.row_number().over(w) - 1).cast("int"),
+    )
+    result = ranked.where(F.col("seq") < cap).drop("__pid")
     if cache_registry is None:
         # No finalizer here — a weakref on `result` fires as soon as the
         # caller derives a new DataFrame and drops this one, unpersisting the
