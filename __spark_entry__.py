@@ -1285,7 +1285,9 @@ def oracle_sql() -> dict[str, str]:
             ranked as (select query_id, neighbor_id, cos_raw,
                          row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
                        from scored)
-            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) as cosine
+            -- "+ 0.0" normalizes IEEE -0.0 (DuckDB round keeps the sign bit;
+            -- Spark round via BigDecimal strips it) so value hashes agree bit-for-bit
+            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) + 0.0 as cosine
             from ranked where rnk <= 10
         """,
         "ann_lsh_topk": f"""
@@ -1300,7 +1302,9 @@ def oracle_sql() -> dict[str, str]:
             ranked as (select query_id, neighbor_id, cos_raw,
                          row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
                        from scored)
-            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) as cosine
+            -- "+ 0.0" normalizes IEEE -0.0 (DuckDB round keeps the sign bit;
+            -- Spark round via BigDecimal strips it) so value hashes agree bit-for-bit
+            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) + 0.0 as cosine
             from ranked where rnk <= 10
         """,
         "ann_lsh_multiprobe": f"""
@@ -1318,7 +1322,9 @@ def oracle_sql() -> dict[str, str]:
             ranked as (select query_id, neighbor_id, cos_raw,
                          row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
                        from scored)
-            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) as cosine
+            -- "+ 0.0" normalizes IEEE -0.0 (DuckDB round keeps the sign bit;
+            -- Spark round via BigDecimal strips it) so value hashes agree bit-for-bit
+            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) + 0.0 as cosine
             from ranked where rnk <= 10
         """,
         "ann_ivf_topk": f"""
@@ -1346,7 +1352,9 @@ def oracle_sql() -> dict[str, str]:
             ranked as (select query_id, neighbor_id, cos_raw,
                          row_number() over (partition by query_id order by cos_raw desc, neighbor_id asc) as rnk
                        from cand)
-            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) as cosine
+            -- "+ 0.0" normalizes IEEE -0.0 (DuckDB round keeps the sign bit;
+            -- Spark round via BigDecimal strips it) so value hashes agree bit-for-bit
+            select query_id, neighbor_id, cast(rnk as integer) as rank, round(cos_raw, 4) + 0.0 as cosine
             from ranked where rnk <= 10
         """,
         "multimodal_meta": """

@@ -8,6 +8,14 @@ bucket key turns ANN into an equi-join on bucket + a per-bucket re-rank.
 All arithmetic is float32 → float64 casts then sequential folds, so Spark and
 DuckDB produce bit-identical cosines (both fold the 64 dims left-to-right in
 double precision).
+
+Negative-zero contract: every rounded cosine output adds ``+ 0.0``, which is
+the IEEE identity for all values except ``-0.0`` → ``+0.0``. Spark's
+``round`` goes through BigDecimal (sign-stripping) while DuckDB's keeps the
+IEEE sign bit, so a cosine in (-0.00005, 0) rounded to 4dp produced ``0.0``
+vs ``-0.0`` — numerically equal, bit-hash different (the single red
+CORRECTNESS_r02 row, query 161 / neighbor 381 at sf0.01). The oracle SQL
+applies the same ``+ 0.0``.
 """
 
 from __future__ import annotations
@@ -91,7 +99,7 @@ def brute_force_topk(
         scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
     )
     return top.select(
-        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("cos_raw", 4).alias("cosine")
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine")
     )
 
 
@@ -139,7 +147,7 @@ def ivf_topk(
         scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
     )
     return top.select(
-        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("cos_raw", 4).alias("cosine")
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine")
     )
 
 
@@ -256,7 +264,7 @@ def multiprobe_lsh_topk(
         scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
     )
     return top.select(
-        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("cos_raw", 4).alias("cosine")
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine")
     )
 
 
@@ -287,5 +295,5 @@ def lsh_bucketed_topk(
         scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
     )
     return top.select(
-        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("cos_raw", 4).alias("cosine")
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine")
     )

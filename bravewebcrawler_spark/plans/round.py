@@ -112,13 +112,45 @@ FETCHED_SCHEMA = T.StructType(
 
 
 def robots_df(spark: SparkSession, web: SynthWeb) -> DataFrame:
-    """Small robots dimension — broadcast at join time (J3)."""
-    rows = []
-    for i in range(web.n_hosts):
-        h = web.host(i)
-        rows.append((h, web.robots_disallow(h)))
-    return spark.createDataFrame(
-        rows, "host string, disallow_prefixes array<string>"
+    """Robots dimension as a DataFrame plan — broadcast at join time (J3).
+
+    Was a driver-side Python loop materializing one row per host: fine at 20k
+    hosts, a real driver bottleneck at the north rule's millions ("robots.txt
+    cache broadcast to executors"). Now ``spark.range(n_hosts)`` + column
+    expressions reproduce ``SynthWeb.host`` / ``SynthWeb.robots_disallow``
+    bit-for-bit (the md5-derived rule evaluates JVM-side), so the dim is
+    generated distributed, never materialized on the driver, and the
+    crawl-vs-oracle equality is unchanged (pytest parity-checks all hosts).
+    In production this is one ``spark.read.parquet`` of a robots snapshot —
+    the join shape (J3) is identical either way.
+    """
+    host = F.format_string(
+        "host%03d.example.%s",
+        F.col("id"),
+        F.when(F.col("id") % 3 != 2, F.lit("ch")).otherwise(F.lit("com")),
+    )
+    # SynthWeb._rnd(seed, "robots", host): big-endian uint64 of md5[:8].
+    # conv() emits the unsigned decimal string; decimal(20,0) holds 2^64-1,
+    # so the %5 / %3 arithmetic matches Python's arbitrary-precision ints.
+    r = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{web.seed}|robots|"), F.col("host"))), 1, 16),
+        16, 10,
+    ).cast("decimal(20,0)")
+    return (
+        spark.range(web.n_hosts)
+        .withColumn("host", host)
+        .withColumn("__r", r)
+        .select(
+            "host",
+            F.when(
+                F.col("__r") % 5 == 0,
+                F.array(
+                    F.concat(F.lit("/page/"), (F.lit(1) + (F.col("__r") % 3)).cast("int").cast("string"))
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("disallow_prefixes"),
+        )
     )
 
 

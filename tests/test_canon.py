@@ -35,6 +35,13 @@ MESSY = [
     "a#b",
     "http://h.ch/p#frag",
     "http://h.ch/p/?a=1#x#y",
+    # fragment followed by a line terminator: Java '$' matches BEFORE a final
+    # '\n' and '.' can't consume it, so '(?:#.*)?$' left the terminator
+    # unreplaced and it leaked into the query split element (ADVICE r2).
+    # '(?:#[\s\S]*)?$' consumes it identically in Java and Python.
+    "http://h.ch/p#f\n",
+    "http://h.ch/p?a=1#f\r\n",
+    "http://h.ch/p?b=2&a=1#frag\nmore",
     "http://h.ch:80/q?b=2&a=1#f",
     "://weird",
     "a b://x",

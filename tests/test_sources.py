@@ -29,3 +29,22 @@ def test_utf8_sig_header_and_dead_letters(spark, tmp_path):
     assert [r["seed_id"] for r in valid.collect()] == ["s1"]
     dl = dead.collect()
     assert len(dl) == 1 and dl[0]["status"] in ("EMPTY_URL_IN_INPUT", "INVALID_INPUT_ROW_STRUCTURE")
+
+
+def test_robots_df_matches_python_loop_and_stays_distributed(spark):
+    """The robots dim (J3 broadcast side) is built from spark.range + column
+    exprs — parity with SynthWeb.robots_disallow for every host, including a
+    config whose host ids exceed the %03d pad width and a non-default seed,
+    and NO driver-side row materialization (the plan reads from Range, not a
+    LocalTableScan of a parallelized list)."""
+    from bravewebcrawler_spark.plans.round import robots_df
+    from bravewebcrawler_spark.sources.synthweb import SynthWeb
+
+    for web in (SynthWeb(), SynthWeb(seed=7, n_hosts=1500)):
+        got = {r["host"]: list(r["disallow_prefixes"]) for r in robots_df(spark, web).collect()}
+        assert len(got) == web.n_hosts
+        for i in range(web.n_hosts):
+            h = web.host(i)
+            assert got[h] == web.robots_disallow(h), (web.seed, h)
+    plan = robots_df(spark, SynthWeb())._jdf.queryExecution().executedPlan().toString()
+    assert "Range" in plan and "LocalTableScan" not in plan and "Scan ExistingRDD" not in plan

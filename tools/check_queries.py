@@ -34,12 +34,15 @@ def normalize(rows: list[tuple], cols: list[str]) -> tuple[list[str], list[tuple
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = round(v, 9)
-                if v == -0.0:
-                    v = 0.0
+                # BIT-exact, signbit included (repr distinguishes -0.0): the
+                # driver hashes raw values, so any rounding/-0.0 masking here
+                # makes this rehearsal weaker than the real gate — round 2's
+                # only red row (ann_lsh_multiprobe, a -0.0 from DuckDB round)
+                # passed this checker precisely because of such masking.
+                v = repr(v)
             # Type-sensitive like the driver's value hash: a DuckDB HUGEINT
             # (arrow decimal -> Decimal) must NOT silently equal a Spark bigint.
-            vals.append((type(v).__name__, v if isinstance(v, float) else str(v)))
+            vals.append((type(r[i]).__name__, v if isinstance(r[i], float) else str(v)))
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x[1] is None, str(x[1])) for x in t))
     return [cols[i] for i in order], out
