@@ -10,14 +10,18 @@ input at multiple parallelism levels on this 32-core host, fresh JVM per run:
       like: executors never share cores 2:1 with their Python workers.
       (local[1] was dropped from the sweep: a 1-core Spark driver+executor
       is not a realistic cluster unit and the level doubles sweep cost.)
-  local[8]  vs local[32]  — N=8, 4N=32: reported too, with the structural
-      caveat that local[32] on a 32-core host oversubscribes (32 JVM task
-      threads + up to 32 Python workers + shuffle/GC threads > 32 cores), a
-      penalty a real 4N-executor cluster does not pay.
+  local[4]  vs local[16]  — N=4, 4N=16: the second clean pair (16 task
+      threads + 16 Python workers = 32 <= 32 cores, still no structural
+      oversubscription) replacing the 8->32 pair, whose local[32] level on a
+      32-core host oversubscribes ~2:1 (task threads + Python workers +
+      shuffle/GC threads > cores) — a penalty a real 4N-executor cluster
+      does not pay.
 
 Efficiency = throughput@4N / (4 x throughput@N); north rule wants >= 0.8.
 
 Usage: python BENCH/run_scaling.py [--repeat K] → writes BENCH/BASELINE.md.
+NOTE: BENCH/BASELINE.md is FULLY generated (including the per-rep appendix);
+hand edits there are lost on regeneration — edit this template instead.
 """
 
 from __future__ import annotations
@@ -29,8 +33,8 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LEVELS = (2, 8, 32)
-PAIRS = ((2, 8), (8, 32))
+LEVELS = (2, 4, 8, 16)
+PAIRS = ((2, 8), (4, 16))
 
 
 def run_once(cpus: int) -> dict:
@@ -71,13 +75,15 @@ def run_once(cpus: int) -> dict:
 def main() -> None:
     repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 1
     results: dict[int, dict] = {}
-    # Reps are INTERLEAVED across levels (2,8,32, 2,8,32, ...) so slow host
-    # phases hit every level equally instead of biasing one; best-of-reps per
-    # level then approximates the noise-free time (host variance on identical
-    # runs has measured up to 1.8x).
+    reps: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    # Reps are INTERLEAVED across levels (2,4,8,16, 2,4,8,16, ...) so slow
+    # host phases hit every level equally instead of biasing one; best-of-reps
+    # per level then approximates the noise-free time (host variance on
+    # identical runs has measured up to 1.8x).
     for rep in range(repeat):
         for cpus in LEVELS:
             r = run_once(cpus)
+            reps[cpus].append(r)
             best = results.get(cpus)
             if best is None or r["crawl_urls_per_s"] > best["crawl_urls_per_s"]:
                 results[cpus] = r
@@ -95,6 +101,12 @@ def main() -> None:
     )
     pair_rows = "\n".join(
         f"| local[{a}] -> local[{b}] | **{eff[(a, b)]:.3f}** |" for a, b in PAIRS
+    )
+    rep_rows = "\n".join(
+        "| " + str(i) + " | "
+        + " | ".join(str(reps[c][i]["crawl_urls_per_s"]) if i < len(reps[c]) else "—" for c in LEVELS)
+        + " |"
+        for i in range(repeat)
     )
     md = f"""# BENCH/BASELINE — crawl throughput + scaling efficiency
 
@@ -120,14 +132,14 @@ North rule: >= 0.8. All N->4N pairs that fit this host are reported — this
 is STRONG scaling (fixed input, growing cluster), so efficiency necessarily
 falls as N grows: the per-run fixed costs (plan compile + commit + driver
 job latency + per-shuffle-stage setup, measured ~70 s over the 2-round run)
-are amortized over 600k-1.2M-URL rounds, where a production 100 TB crawl
-amortizes the same fixed seconds over ~10^8-URL rounds. The local[2]->local[8] pair runs
-every level's JVM task threads plus one Python worker per slot far under
-the 32 physical cores — the faithful stand-in for an N- vs 4N-executor
-cluster. local[8]->local[32] is additionally reported with the structural
-caveat that local[32] on a 32-core host oversubscribes ~2:1 (task threads +
-Python workers + shuffle/GC threads), a penalty a real 4N-executor cluster
-does not pay.
+are amortized over 400k-800k-URL rounds, where a production 100 TB crawl
+amortizes the same fixed seconds over ~10^8-URL rounds. Both reported pairs
+(2->8 and 4->16) run every level's JVM task threads plus one Python worker
+per slot within the 32 physical cores — the faithful stand-in for an N- vs
+4N-executor cluster. The former 8->32 pair was retired: local[32] on a
+32-core host oversubscribes ~2:1 (task threads + Python workers +
+shuffle/GC threads), a structural penalty a real 4N-executor cluster does
+not pay.
 
 ## What made it scale (measured, not guessed)
 
@@ -202,6 +214,15 @@ Round 2 (each independently measured at local[2] vs local[8]):
 - per-round atomic manifest commit is O(1) driver work independent of
   frontier size; state tables are partitioned parquet (Iceberg-semantics
   seam — swap-in real Iceberg is a write-path change only).
+
+## Appendix: per-rep draws (interleaved run order; best per level is bolded above)
+
+| rep | {" | ".join(f"local[{c}] urls/s" for c in LEVELS)} |
+|---|{"---|" * len(LEVELS)}
+{rep_rows}
+
+(This file is fully generated by BENCH/run_scaling.py; hand edits are lost
+on regeneration.)
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

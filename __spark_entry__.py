@@ -409,11 +409,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(corpus, "doc_id", "text", k=3)
 
 
+def _materialize_and_release(df: DataFrame, caches: list) -> DataFrame:
+    """Deterministic cache lifecycle for queries whose intermediates must be
+    persisted but whose RESULT is small (thresholded pair lists, per-language
+    aggregates): run the plan once while the caches are hot, unpersist them
+    immediately, and return the materialized rows as a local DataFrame. No
+    ContextCleaner reliance — executor storage is empty the moment the query
+    function returns (pytest-asserted in test_queries_vs_duckdb)."""
+    rows = df.collect()
+    for c in caches:
+        c.unpersist()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def dedup_lsh_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH→exact composition: MinHash band candidates, true Jaccard computed
     ONLY on candidate pairs — the dedup plan that survives 100 TB."""
     corpus = _neardup_corpus(spark, sf_dir)
-    return DD.lsh_refined_pairs(corpus, "doc_id", "text", k=3, threshold=0.6)
+    caches: list = []
+    pairs = DD.lsh_refined_pairs(corpus, "doc_id", "text", k=3, threshold=0.6, cache_registry=caches)
+    return _materialize_and_release(pairs, caches)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,15 +464,18 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lsh_refined_pairs fans uniq into three branches (signatures, shingle
     # sets, sizes) and the final anti-join makes a fourth — without this
     # persist the quality+dedup shuffle above recomputes per branch
-    # (measured 148s -> ~30s at sf0.1). Spark's ContextCleaner unpersists
-    # when the plan is garbage-collected after the driver consumes the query.
+    # (measured 148s -> ~30s at sf0.1). All caches are registered and
+    # released deterministically via _materialize_and_release (the result is
+    # a tiny per-language aggregate).
     from pyspark import StorageLevel
 
+    caches: list = []
     uniq = uniq.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = DD.lsh_refined_pairs(uniq, "doc_id", "text", k=3, threshold=0.6)
+    caches.append(uniq)
+    pairs = DD.lsh_refined_pairs(uniq, "doc_id", "text", k=3, threshold=0.6, cache_registry=caches)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = uniq.join(drops, "doc_id", "left_anti")
-    return (
+    out = (
         final.select(
             TX.lang_id_col(F.col("text")).alias("lang_guess"),
             TX.bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe"),
@@ -470,6 +488,7 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+    return _materialize_and_release(out, caches)
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,9 +576,15 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED codebook: 2 k-means iterations in DataFrame ops
+    (quantized-integer means — bit-exact across engines and partitionings, see
+    operators/similarity.py learn_ivf_centroids), then cell-probe + exact
+    re-rank. The DuckDB oracle replays the identical training in SQL CTEs."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < ANN_N_QUERIES)
-    return SIM.ivf_topk(queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10)
+    return SIM.ivf_topk(
+        queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=10, kmeans_iters=2
+    )
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +832,49 @@ def _sql_bucket(v: str, n_planes: int = 8) -> str:
         f"list_sum(list_transform(range(0, {n_planes}), p -> "
         f"case when {proj} > 0 then (cast(1 as bigint) << p) else cast(0 as bigint) end))"
     )
+
+
+def _sql_ivf_cents(n_centroids: int = 16, iters: int = 2) -> str:
+    """DuckDB twin of operators.similarity.learn_ivf_centroids: the same
+    k-means iterations unrolled as CTEs, ending in ``cents(cent_id, centv)``.
+
+    Bit-exact with Spark's training by the quantized-integer-mean trick: each
+    centroid component is floor(x * 2^20 + 0.5) summed as an integer (exact,
+    order-free) then ONE double division sum / (count * 2^20) — no
+    order-sensitive float summation anywhere, so the two engines cannot
+    diverge no matter how either parallelizes the aggregation."""
+    cast64 = (
+        "case when len(embedding) = 64 then embedding::DOUBLE[] "
+        "else error('embedding dim != 64: vector oracle fragments assume 64') end"
+    )
+    sums = ", ".join(
+        f"sum(cast(floor(cv[{i + 1}] * 1048576.0 + 0.5) as bigint)) as s{i}" for i in range(64)
+    )
+    news = ", ".join(
+        f"cast(u.s{i} as double) / (cast(u.cnt as double) * 1048576.0)" for i in range(64)
+    )
+    cos_c = (
+        f"{_SQL_DOT.format(a='cv', b='centv')}"
+        f" / (sqrt({_SQL_DOT.format(a='cv', b='cv')}) * sqrt({_SQL_DOT.format(a='centv', b='centv')}))"
+    )
+    parts = [
+        f"cents0 as (select vec_id as cent_id, {cast64} as centv from embeddings where vec_id < {n_centroids})",
+        f"corpx as (select vec_id as neighbor_id, {cast64} as cv from embeddings)",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cents{it - 1}"
+        parts += [
+            f"a{it} as (select neighbor_id, cv, cent_id, {cos_c} as cos_c from corpx cross join {prev})",
+            f"g{it} as (select neighbor_id, cv, cent_id from ("
+            f"select *, row_number() over (partition by neighbor_id order by cos_c desc, cent_id asc) as rn"
+            f" from a{it}) where rn = 1)",
+            f"u{it} as (select cent_id as cell, count(*) as cnt, {sums} from g{it} group by cent_id)",
+            f"cents{it} as (select c.cent_id, case when u.cell is null then c.centv"
+            f" else list_value({news}) end as centv"
+            f" from {prev} c left join u{it} u on c.cent_id = u.cell)",
+        ]
+    parts.append(f"cents as (select cent_id, centv from cents{iters})")
+    return ",\n            ".join(parts)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1328,8 +1396,10 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rnk <= 10
         """,
         "ann_ivf_topk": f"""
-            with cents as (select vec_id as cent_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as centv from embeddings where vec_id < 16),
-            corp as (select vec_id as neighbor_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as cv from embeddings),
+            -- learned codebook: 2 k-means iterations, bit-exact with Spark's
+            -- learn_ivf_centroids via quantized-integer means
+            with {_sql_ivf_cents(16, 2)},
+            corp as (select neighbor_id, cv from corpx),
             assign as (select neighbor_id, cv, cent_id,
                          {_SQL_DOT.format(a="cv", b="centv")}
                          / (sqrt({_SQL_DOT.format(a="cv", b="cv")}) * sqrt({_SQL_DOT.format(a="centv", b="centv")})) as cos_c

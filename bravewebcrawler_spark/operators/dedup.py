@@ -152,7 +152,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
 
 
 def lsh_refined_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.6
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.6,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The 100-TB dedup composition: MinHash+LSH candidate generation, exact
     Jaccard refinement computed ONLY on the candidate pairs.
@@ -168,8 +169,11 @@ def lsh_refined_pairs(
     # cand feeds four consumers (two unions below, the intersection join and
     # the final projection) and sh three — without these persists the
     # md5-per-shingle MinHash pass recomputes per consumer (~4x the whole
-    # signature cost; measured 25s -> ~8s at sf0.1). Spark's ContextCleaner
-    # unpersists once the consumed plan is garbage-collected.
+    # signature cost; measured 25s -> ~8s at sf0.1). Pass ``cache_registry``
+    # to take ownership of the release (unpersist after the result is fully
+    # consumed); without it Spark's ContextCleaner unpersists once the
+    # consumed plan is garbage-collected — correct, but in a long-lived
+    # session several such caches can coexist.
     cand = minhash_lsh_pairs(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     cand_docs = cand.select(F.col("id_a").alias("doc")).unionByName(
         cand.select(F.col("id_b").alias("doc"))
@@ -182,6 +186,8 @@ def lsh_refined_pairs(
         .join(cand_docs, "doc", "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.extend((cand, sh))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(sh.select(F.col("doc").alias("id_a"), "sh"), "id_a")

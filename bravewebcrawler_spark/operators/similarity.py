@@ -21,6 +21,7 @@ applies the same ``+ 0.0``.
 from __future__ import annotations
 
 import hashlib
+import math
 from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
@@ -103,21 +104,110 @@ def brute_force_topk(
     )
 
 
+QUANT = 1048576.0  # 2^20 — k-means quantization scale (see learn_ivf_centroids)
+
+
+def _cents_cos_arr(vec: Column, norm: Column, cents: list[list[float]]) -> Column:
+    """Cosine of ``vec`` against every centroid, as ONE array column.
+
+    The centroid matrix enters the plan as a single nested literal
+    (transposed, like the hyperplane weights): one traversal of the vector
+    accumulates all per-centroid dots with the same left-to-right dim fold as
+    ``_dot_raw``, so each cosine is bit-identical to the oracle's per-cell
+    fold. Centroid norms are computed driver-side with the same sequential
+    fold and enter as literals.
+    """
+    n_cells, n_dims = len(cents), len(cents[0])
+    centn = []
+    for c in cents:
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        centn.append(math.sqrt(acc))
+    wlit = F.lit([[cents[j][i] for j in range(n_cells)] for i in range(n_dims)])
+    dots = F.aggregate(
+        F.zip_with(vec, wlit, lambda x, ws: F.transform(ws, lambda w: x * w)),
+        F.array(*([F.lit(0.0)] * n_cells)),
+        lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
+    )
+    return F.zip_with(dots, F.lit(centn), lambda d, cn: d / (norm * cn))
+
+
+def learn_ivf_centroids(
+    corpus: DataFrame, c_id: str, c_vec: str, n_centroids: int = 16, iters: int = 2
+) -> list[list[float]]:
+    """k-means training in DataFrame ops: assign (argmax cosine, lowest cell
+    wins ties) → mean per cell, repeated ``iters`` times. Returns the learned
+    codebook as plain floats (a 16x64 driver-side literal, like a broadcast
+    variable but cheaper).
+
+    Bit-exact across engines AND across partitionings by construction: the
+    mean is computed over components quantized to integers —
+    ``floor(x * 2^20 + 0.5)`` is exact for float32-derived doubles (the
+    product only shifts the exponent), the per-cell per-dim sum is a long
+    (associative, order-free, map-side combinable — a plain shuffle on the
+    ≤``n_centroids`` cell keys), and the final ``sum / (count * 2^20)`` is
+    one IEEE double division both engines and the DuckDB oracle reproduce
+    exactly. No sorted collect_list, no order-sensitive double summation —
+    this is the same plan you would run at 10^10 vectors.
+
+    Init is the ``n_centroids`` lowest-id corpus vectors; a cell that ends a
+    round empty keeps its previous centroid.
+    """
+    c = _normed(corpus, c_id, c_vec, "nid", "cv", "cn")
+    init = (
+        _normed(corpus.where(F.col(c_id) < n_centroids), c_id, c_vec, "cid", "v", "n")
+        .orderBy("cid")
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in init]
+    n_dims = len(cents[0])
+    qv = F.transform(F.col("cv"), lambda x: F.floor(x * F.lit(QUANT) + F.lit(0.5)))
+    for _ in range(iters):
+        cos_arr = _cents_cos_arr(F.col("cv"), F.col("cn"), cents)
+        # array_position returns the FIRST index equal to the max — the
+        # lowest cell id, matching the oracle's (cos desc, cent_id asc) rank.
+        assigned = c.select(
+            (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int").alias("cell"),
+            qv.alias("qv"),
+        )
+        agg = assigned.groupBy("cell").agg(
+            F.count("*").alias("cnt"),
+            *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(n_dims)],
+        )
+        by_cell = {r["cell"]: r for r in agg.collect()}
+        cents = [
+            [by_cell[j][f"s{i}"] / (by_cell[j]["cnt"] * QUANT) for i in range(n_dims)]
+            if j in by_cell
+            else cents[j]
+            for j in range(n_centroids)
+        ]
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, q_id: str, q_vec: str, c_id: str, c_vec: str,
-    k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4, kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells, probe
     the closest cells per query, exact re-rank inside.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors (deterministic
-    stand-in for a k-means codebook — the operator shape, not the training,
-    is what matters here). At 10^10 vectors the cell id is a write-time
-    partition key: a query touches n_probe partitions instead of the corpus.
+    With ``kmeans_iters=0`` centroids are the ``n_centroids`` lowest-id
+    corpus vectors (the operator-shape baseline); with ``kmeans_iters>0``
+    they are learned by :func:`learn_ivf_centroids` — a real IVF codebook,
+    still oracle-checkable because the training is bit-exact cross-engine.
+    At 10^10 vectors the cell id is a write-time partition key: a query
+    touches n_probe partitions instead of the corpus.
     """
-    cents = _normed(
-        corpus.where(F.col(c_id) < n_centroids), c_id, c_vec, "cent_id", "centv", "centn"
-    )
+    if kmeans_iters > 0:
+        learned = learn_ivf_centroids(corpus, c_id, c_vec, n_centroids, kmeans_iters)
+        cents = corpus.sparkSession.createDataFrame(
+            [(j, learned[j]) for j in range(n_centroids)], "cent_id long, centv array<double>"
+        ).withColumn("centn", F.sqrt(_dot_raw(F.col("centv"), F.col("centv"))))
+    else:
+        cents = _normed(
+            corpus.where(F.col(c_id) < n_centroids), c_id, c_vec, "cent_id", "centv", "centn"
+        )
     cos_order = [F.col("cos_c").desc(), F.col("cent_id").asc()]
 
     c = _spread(_normed(corpus, c_id, c_vec, "neighbor_id", "cv", "cn"))

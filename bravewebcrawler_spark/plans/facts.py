@@ -104,3 +104,94 @@ def facts_per_seed_from_crawl(seeds: DataFrame, documents: DataFrame) -> DataFra
         F.lit("NO_RESULTS_FOUND").alias("status"),
     )
     return merged.unionByName(missing)
+
+
+# Reference output contract (brave_processor.py:35-38,40,231): the 7
+# EXPECTED_JSON_KEYS between the two input columns and the status column.
+REFERENCE_JSON_KEYS = (
+    "official_website",
+    "founded",
+    "Hauptsitz",
+    "Firmenidentifikationsnummer",
+    "HauptTelefonnummer",
+    "HauptEmailAdresse",
+    "Geschäftsbericht",
+)
+REFERENCE_CSV_COLUMNS = ("company_number", "company_name", *REFERENCE_JSON_KEYS, "processing_status")
+
+# engine fact field -> reference JSON key (models.py:4-12 <-> EXPECTED_JSON_KEYS)
+_FIELD_TO_KEY = {
+    "founded": "founded",
+    "address": "Hauptsitz",
+    "che_id": "Firmenidentifikationsnummer",
+    "phone": "HauptTelefonnummer",
+    "email": "HauptEmailAdresse",
+}
+
+
+def facts_to_reference_csv(
+    facts: DataFrame,
+    seeds: DataFrame,
+    out_dir: str | None = None,
+    pdf_facts: DataFrame | None = None,
+) -> DataFrame:
+    """Boundary translation of the facts rows into the reference's EXACT
+    output CSV shape: positional columns ``company_number,company_name`` +
+    the 7 ``EXPECTED_JSON_KEYS`` + ``processing_status``
+    (brave_processor.py:231), every value a string with SQL NULL rendered as
+    the literal ``"null"`` sentinel (brave_processor.py:46; SURVEY §1.1 last
+    row — inside the engine missing stays real NULL, the sentinel exists only
+    at this sink).
+
+    ``seeds`` is the input-CSV analog (seed_id, url) — its two columns map to
+    the reference's (company_number, company_name) verbatim.
+    ``official_website`` is the seed's root URL when the crawl fetched any
+    evidence (the reference fills it from the search hit that won the
+    cascade, google_search.py:72). ``Geschäftsbericht`` comes from the
+    optional ``pdf_facts`` (seed_id, geschaeftsbericht) side input — in the
+    reference it is found by a separate PDF search tier
+    (google_harvester.py:105-114, operator P9), not by the crawl itself —
+    and is ``"null"`` when absent.
+
+    Writes a header'd CSV when ``out_dir`` is given; always returns the
+    translated DataFrame (all-string columns, reference order).
+    """
+    from bravewebcrawler_spark.functions.canon import root_url_col
+
+    def _s(col: F.Column) -> F.Column:
+        return F.coalesce(col.cast("string"), F.lit("null"))
+
+    j = facts.join(
+        F.broadcast(seeds.select("seed_id", "url").dropDuplicates(["seed_id"])), "seed_id"
+    )
+    if pdf_facts is not None:
+        j = j.join(
+            F.broadcast(pdf_facts.select("seed_id", "geschaeftsbericht")), "seed_id", "left"
+        )
+    else:
+        j = j.withColumn("geschaeftsbericht", F.lit(None).cast("string"))
+    out = j.select(
+        F.col("seed_id").alias("company_number"),
+        F.col("url").alias("company_name"),
+        _s(F.when(F.col("n_docs") > 0, root_url_col(F.col("url")))).alias("official_website"),
+        _s(F.col("founded")).alias("founded"),
+        _s(F.col("address")).alias("Hauptsitz"),
+        _s(F.col("che_id")).alias("Firmenidentifikationsnummer"),
+        _s(F.col("phone")).alias("HauptTelefonnummer"),
+        _s(F.col("email")).alias("HauptEmailAdresse"),
+        _s(F.col("geschaeftsbericht")).alias("Geschäftsbericht"),
+        F.col("status").alias("processing_status"),
+    )
+    assert tuple(out.columns) == REFERENCE_CSV_COLUMNS
+    if out_dir is not None:
+        # Spark's CSV writer trims cell whitespace by default; the reference's
+        # csv.writer preserves values byte-for-byte (extracted fields can
+        # legitimately end in a space — the greedy F8 phone regex does).
+        (
+            out.write.mode("overwrite")
+            .option("header", True)
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(out_dir)
+        )
+    return out

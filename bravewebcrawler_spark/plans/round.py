@@ -33,8 +33,10 @@ plan with .explain):
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -259,6 +261,7 @@ def _fetch_parse_factory(web: SynthWeb):
 
 
 _PINNED_RANK_CACHES: list[DataFrame] = []
+_SCOPED_RANK_CACHES: list[list[DataFrame]] = []  # rank_cache_scope() stack
 
 
 def release_rank_caches() -> None:
@@ -269,6 +272,32 @@ def release_rank_caches() -> None:
             _PINNED_RANK_CACHES.pop().unpersist()
         except Exception:  # noqa: BLE001 — interpreter/JVM teardown
             pass
+
+
+@contextmanager
+def rank_cache_scope() -> Iterator[None]:
+    """Scope-exit release for registry-less dequeue callers (tests, tools).
+
+    Inside the ``with`` block, dequeue calls that would otherwise pin their
+    placement-freezing caches in the module-global list register them in the
+    scope instead; exit unpersists them all. This keeps the caches alive for
+    exactly as long as the returned DataFrames can be consumed — the caller
+    no longer has to remember ``release_rank_caches()`` (and a weakref
+    finalizer remains unsafe: it would fire mid-query, see _global_rank_cap).
+    The production loop is unaffected — crawl passes an explicit
+    ``cache_registry`` released per round.
+    """
+    scope: list[DataFrame] = []
+    _SCOPED_RANK_CACHES.append(scope)
+    try:
+        yield
+    finally:
+        _SCOPED_RANK_CACHES.remove(scope)
+        for df in scope:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — interpreter/JVM teardown
+                pass
 
 
 def _global_rank_cap(
@@ -297,22 +326,29 @@ def _global_rank_cap(
     # repartitionByRange SAMPLES its input in a separate job to pick range
     # boundaries — without this persist the expensive dequeue windows would
     # compute twice (once for the sample pass, once for the real shuffle).
-    survivors = survivors.persist()
+    survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
     s = (
         survivors.repartitionByRange(n_part, *order)
         .sortWithinPartitions(*order)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # The persist is CORRECTNESS, not just perf: repartitionByRange samples
     # its range boundaries per execution, so without it the sizes job below
     # and the final consumer could place rows in different __pid partitions
     # and the offsets would be wrong (caught by test_global_rank_cap_large_
-    # path). Callers pass cache_registry to unpersist after the round; for
-    # direct callers the caches stay pinned until release_rank_caches().
+    # path). MEMORY_AND_DISK (explicit, spills instead of evicting) because
+    # an evicted-and-recomputed `s` re-samples boundaries: under ANSI mode
+    # the element_at(off_map, __pid) below then fails loudly with
+    # MAP_KEY_DOES_NOT_EXIST — if that error ever appears here it means the
+    # cache was dropped mid-query, not bad input. Callers pass cache_registry
+    # to unpersist after the round; direct callers use rank_cache_scope()
+    # (scope-exit release) or stay pinned until release_rank_caches().
     if cache_registry is not None:
         cache_registry.append(survivors)
         cache_registry.append(s)
+    elif _SCOPED_RANK_CACHES:
+        _SCOPED_RANK_CACHES[-1].extend((survivors, s))
     sizes = {r["__pid"]: r["c"] for r in s.groupBy("__pid").agg(F.count("*").alias("c")).collect()}
     offsets, acc = [], 0
     for pid in sorted(sizes):
@@ -330,13 +366,14 @@ def _global_rank_cap(
         (F.element_at(off_map, F.col("__pid")) + F.row_number().over(w) - 1).cast("int"),
     )
     result = ranked.where(F.col("seq") < cap).drop("__pid")
-    if cache_registry is None:
+    if cache_registry is None and not _SCOPED_RANK_CACHES:
         # No finalizer here — a weakref on `result` fires as soon as the
         # caller derives a new DataFrame and drops this one, unpersisting the
         # placement-freezing caches MID-QUERY; a recompute then re-samples the
         # range boundaries and produces overlapping seq ranges (caught by
-        # tests/test_band_pruning.py). Registry-less callers (tests, tools)
-        # keep the pin for the session; release_rank_caches() frees them.
+        # tests/test_band_pruning.py). Registry-less callers outside a
+        # rank_cache_scope() keep the pin for the session;
+        # release_rank_caches() frees them.
         _PINNED_RANK_CACHES.extend((survivors, s))
     return result, acc
 
@@ -449,8 +486,6 @@ def run_round(
     outgrows a broadcast (~100M+ keys/round), flip to a plain shuffle join
     for that round (AQE) — the commit stays O(delta) either way.
     """
-    from pyspark import StorageLevel
-
     from bravewebcrawler_spark.operators.seen import bloom_hits, bloom_insert_delta, empty_bloom
 
     if bloom is None:

@@ -114,3 +114,27 @@ def test_crawl_band_hist_matches_frontier(spark, tmp_path_factory):
         assert saved == actual, (r, saved, actual)
     # a crawl without pruning commits no histogram
     assert ckpt.load_band_hist(d_off, 0) is None
+
+
+def test_rank_cache_scope_releases_on_exit(spark):
+    """Registry-less dequeue callers inside rank_cache_scope() get their
+    placement-freezing caches released at scope exit (VERDICT r2 #6) — and
+    the results stay correct while the scope is open."""
+    from bravewebcrawler_spark.plans.round import rank_cache_scope
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def storage_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    fr = _frontier(spark).persist()
+    fr.count()  # materialize fr's own cache so `before` includes it
+    hs = spark.createDataFrame([], "host string, tokens double")
+    policy = CrawlPolicy(capacity=4000.0, rate=4000.0, max_urls_per_round=21000)
+    before = storage_ids()
+    with rank_cache_scope():
+        rows = _rows(dequeue(fr, hs, policy, refill=False))
+        assert len(rows) == 21000
+        assert storage_ids() - before, "large-cap dequeue should have pinned caches"
+    assert not (storage_ids() - before), "scope exit must unpersist the pinned caches"
+    fr.unpersist()

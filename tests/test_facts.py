@@ -91,3 +91,55 @@ def test_facts_statuses_meaningful(spark, crawled):
     statuses = {r["status"] for r in rows}
     assert any(s.startswith("PARTIAL_") or s == "ALL_FIELDS_COMPLETE" for s in statuses)
     assert any(r["che_id"] or r["email"] or r["phone"] for r in rows)
+
+
+def test_facts_to_reference_csv_shape(spark, crawled, tmp_path):
+    """The sink emits the reference's exact CSV contract
+    (brave_processor.py:231,257,46): column order company_number,company_name,
+    <7 EXPECTED_JSON_KEYS>,processing_status; every value a string; SQL NULL
+    rendered as the literal 'null'. Expected rows are built from the
+    independent sequential computation."""
+    import csv
+    import glob
+
+    from bravewebcrawler_spark.functions.canon import canonicalize_url_py
+    from bravewebcrawler_spark.plans.facts import (
+        REFERENCE_CSV_COLUMNS,
+        facts_per_seed_from_crawl,
+        facts_to_reference_csv,
+    )
+
+    seeds, seeds_df, oracle, eng = crawled
+    facts = facts_per_seed_from_crawl(seeds_df, eng["documents"])
+    out_dir = str(tmp_path / "refcsv")
+    df = facts_to_reference_csv(facts, seeds_df, out_dir=out_dir)
+    assert tuple(df.columns) == REFERENCE_CSV_COLUMNS
+    assert all(t == "string" for _, t in df.dtypes)
+
+    rows = {}
+    for part in glob.glob(out_dir + "/part-*.csv"):
+        with open(part, newline="", encoding="utf-8") as fh:
+            r = csv.reader(fh)
+            header = next(r)
+            assert header == list(REFERENCE_CSV_COLUMNS)
+            for row in r:
+                rows[row[0]] = row
+
+    expect = _sequential_facts(seeds, oracle)
+    assert set(rows) == {sid for sid, _ in seeds}
+    for sid, url in seeds:
+        che, phone, email, founded, address, n_docs, status = expect[sid]
+        root = canonicalize_url_py(url)
+        root = root[: root.index("/", len("http://"))] if "/" in root[len("http://"):] else root
+        want = [
+            sid, url,
+            root if n_docs > 0 else "null",
+            founded or "null",
+            address or "null",
+            che or "null",
+            phone or "null",
+            email or "null",
+            "null",  # Geschäftsbericht: separate PDF-search tier, no pdf_facts given
+            status,
+        ]
+        assert rows[sid] == want, (sid, rows[sid], want)

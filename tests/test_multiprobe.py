@@ -53,3 +53,27 @@ def test_multiprobe_candidates_superset_of_single_probe(spark, sf_dir):
     assert single <= multi
     # and multi-probe genuinely widens the candidate set on this corpus
     assert len(multi) > len(single)
+
+
+def test_ivf_learned_centroids_recall_and_determinism(spark, sf_dir):
+    """Learned IVF (2 k-means iterations in DataFrame ops) must (a) actually
+    train — the codebook moves off the lowest-id init, (b) not lose recall
+    vs the untrained baseline on this (fixed, deterministic) corpus, and
+    (c) be partitioning-independent: the quantized-integer mean makes the
+    codebook identical whatever the input split (here: 1 vs 16 partitions)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    args = (queries, emb, "vec_id", "embedding", "vec_id", "embedding")
+
+    exact = _pairs(SIM.brute_force_topk(*args, k=K))
+    base = _pairs(SIM.ivf_topk(*args, k=K, kmeans_iters=0))
+    learned = _pairs(SIM.ivf_topk(*args, k=K, kmeans_iters=2))
+    recall_base = len(base & exact) / len(exact)
+    recall_learned = len(learned & exact) / len(exact)
+    assert recall_learned >= recall_base >= 0.5
+
+    init = SIM.learn_ivf_centroids(emb, "vec_id", "embedding", 16, 0)
+    c_few = SIM.learn_ivf_centroids(emb.coalesce(1), "vec_id", "embedding", 16, 2)
+    c_many = SIM.learn_ivf_centroids(emb.repartition(16), "vec_id", "embedding", 16, 2)
+    assert c_few != init  # training moved the codebook
+    assert c_few == c_many  # bit-identical across partitionings

@@ -38,3 +38,21 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"user_id", "event_id", "event_type", "value", "rn"}
     # top-3 per user, rank within bounds
     assert all(1 <= r["rn"] <= 3 for r in rows)
+
+
+def test_no_residual_caches_after_cache_managed_queries(spark, sf_dir):
+    """Deterministic cache lifecycle (VERDICT r2 #6): the queries that persist
+    intermediates (lsh_refined_pairs' cand/sh, corpus_prep's uniq) must leave
+    the storage tab exactly as they found it — no ContextCleaner reliance."""
+    import __spark_entry__ as E
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def storage_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    before = storage_ids()
+    for name in ("dedup_lsh_refined", "corpus_prep"):
+        E.queries()[name](spark, sf_dir).count()
+    leaked = storage_ids() - before
+    assert not leaked, f"residual cached RDDs: {leaked}"
