@@ -192,6 +192,20 @@ Round 2 (each independently measured at local[2] vs local[8]):
    600k/1.2M variant measured 0.757 vs 0.791 — identical within the host's
    run-to-run noise — so the smaller, faster config stays the bench.)
 
+Round 3:
+12. Bookkeeping rides the writes (zero extra jobs in the bench path): the
+   crawl_log write carries an Observation computing (dequeued, fetched_ok)
+   while it materializes the selected+fetched caches — the separate
+   fetch+agg job is gone — and the frontier_delta (or compaction snapshot)
+   write materializes the discover→dedup→merge chain itself, with the
+   frontier-size counts riding a second Observation; the old jobB
+   (groupBy+collect over the tagged delta) now runs only on the
+   band-pruning path, which needs a per-band count map no fixed
+   Observation aggregate list can carry.
+13. robots dimension generated as spark.range + column exprs (md5 rule
+   evaluated JVM-side, bit-for-bit vs the Python twin) — no driver-side
+   row materialization at millions of hosts.
+
 ## 10^10-frontier design math (not simulated in data volume)
 
 - frontier hash-partitioned on pmod(url_hash, P); dequeue windows salted

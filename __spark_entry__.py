@@ -1192,12 +1192,15 @@ def oracle_sql() -> dict[str, str]:
             cand as (select distinct a.doc as id_a, b.doc as id_b
                      from banded a join banded b
                        on a.band = b.band and a.band_key = b.band_key and a.doc < b.doc),
-            shg as (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from corpus),
+            -- refinement on the portable 60-bit shingle hash, matching the
+            -- engine's shared hashed_shingles pass (operators/dedup.py)
+            shg as (select doc, cast(('0x' || substr(md5(sh), 1, 15)) as bigint) as h
+                    from (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from corpus)),
             sizes as (select doc, count(*) as sz from shg group by 1),
             inter as (select id_a, id_b, count(*) as n_inter
                       from cand
                       join shg a on a.doc = id_a
-                      join shg b2 on b2.doc = id_b and b2.sh = a.sh
+                      join shg b2 on b2.doc = id_b and b2.h = a.h
                       group by 1, 2)
             select id_a, id_b, jaccard from (
               select id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 4) as jaccard
@@ -1230,12 +1233,13 @@ def oracle_sql() -> dict[str, str]:
             cand as (select distinct a.doc as id_a, b.doc as id_b
                      from banded a join banded b
                        on a.band = b.band and a.band_key = b.band_key and a.doc < b.doc),
-            shg as (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from uniq),
+            shg as (select doc, cast(('0x' || substr(md5(sh), 1, 15)) as bigint) as h
+                    from (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from uniq)),
             sizes as (select doc, count(*) as sz from shg group by 1),
             inter as (select id_a, id_b, count(*) as n_inter
                       from cand
                       join shg a on a.doc = id_a
-                      join shg b2 on b2.doc = id_b and b2.sh = a.sh
+                      join shg b2 on b2.doc = id_b and b2.h = a.h
                       group by 1, 2),
             refined as (select id_a, id_b from (
                           select id_a, id_b, n_inter / (sa.sz + sb.sz - n_inter) as jaccard

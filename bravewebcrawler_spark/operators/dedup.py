@@ -97,21 +97,45 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 3, thresho
     )
 
 
-def minhash_signature_cols(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc, H) — the portable 60-bit hash of each DISTINCT k-shingle per doc.
+
+    The ONE pass over the text that every shingle-based operator can share:
+    minhash signatures (min over distinct == min over all), set sizes, and
+    intersection counts all derive from it, so the tokenize→slice→join string
+    churn and the md5 per shingle run once instead of once per consumer, and
+    everything downstream shuffles 16-byte (doc, long) rows instead of
+    shingle strings. array_distinct is map-side (inside the array, before
+    explode) — no extra shuffle.
+    """
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("s"),
+    ).select("doc", portable_hash64(F.col("s")).alias("H"))
+
+
+def minhash_signature_cols(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, shingle_hashes: DataFrame | None = None
+) -> DataFrame:
     """Signature as NUM_HASHES columns via explode + hash-aggregate:
     h_j(s) = (a_j * H(s) + b_j) mod P with H the portable 60-bit hash reduced
     mod P; a_j <= 2*NUM_HASHES+3 keeps a_j*H < 2^63 (ANSI-safe).
 
     The corpus-scale shape: each shingle is hashed ONCE, and the per-doc min
     is a map-side partial aggregate — shuffle carries only (doc, 16 longs).
-    (An array-fold column variant existed but re-derived md5 per hash
-    function and had no consumers — deleted.)
+    Pass ``shingle_hashes`` (a :func:`hashed_shingles` result, possibly
+    persisted) to reuse an existing hash pass — min over the distinct
+    shingle set equals min over all occurrences, so the signature is
+    identical either way.
     """
-    sh = (
-        df.where(F.size(tokens_col(F.col(text_col))) >= k)
-        .select(F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
-        .select("doc", (portable_hash64(F.col("s")) % MINHASH_P).alias("h"))
-    )
+    if shingle_hashes is None:
+        sh = (
+            df.where(F.size(tokens_col(F.col(text_col))) >= k)
+            .select(F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+            .select("doc", (portable_hash64(F.col("s")) % MINHASH_P).alias("h"))
+        )
+    else:
+        sh = shingle_hashes.select("doc", (F.col("H") % MINHASH_P).alias("h"))
     aggs = [
         F.min((F.col("h") * (2 * j + 3) + (5 * j + 7)) % MINHASH_P).alias(f"m{j}")
         for j in range(NUM_HASHES)
@@ -119,16 +143,19 @@ def minhash_signature_cols(df: DataFrame, id_col: str, text_col: str, k: int = 3
     return sh.groupBy("doc").agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, shingle_hashes: DataFrame | None = None
+) -> DataFrame:
     """MinHash+LSH candidate pairs: signature → band keys → bucket equi-join.
 
     The scale path: per doc only NUM_HASHES values survive; candidate
     generation shuffles on small (band, band_key) keys. Pairs are distinct
     (id_a < id_b); refinement (true Jaccard on candidates) is jaccard_pairs
-    restricted to these pairs.
+    restricted to these pairs. ``shingle_hashes`` is forwarded to
+    :func:`minhash_signature_cols`.
     """
     rows_per_band = NUM_HASHES // NUM_BANDS
-    sig = minhash_signature_cols(df, id_col, text_col, k)
+    sig = minhash_signature_cols(df, id_col, text_col, k, shingle_hashes=shingle_hashes)
     per_band = []
     for band in range(NUM_BANDS):
         key = F.lit(0).cast("long")
@@ -160,38 +187,43 @@ def lsh_refined_pairs(
 
     The full-corpus shingle self-join (jaccard_pairs) is quadratic in hot
     shingles; here the expensive exact step touches only |candidates| pairs —
-    the shingle explode is restricted to docs that appear in a candidate
-    (semi-join), and the intersection count joins shingles through the
-    candidate pair list instead of shingle-vs-shingle.
+    the intersection count joins shingles through the candidate pair list
+    instead of shingle-vs-shingle.
+
+    ONE shared shingle-hash pass (:func:`hashed_shingles`): signatures, set
+    sizes and intersections all consume the persisted (doc, H) table, so the
+    tokenize/slice/md5 string churn runs once (was: once for the signature
+    pass + once for the refinement explode — the dominant cost of corpus_prep
+    at sf0.1), and the refinement shuffles 16-byte longs, never shingle
+    strings. Jaccard on 60-bit shingle hashes equals Jaccard on the shingle
+    sets themselves absent a 60-bit collision inside a candidate pair
+    (~|set|^2 / 2^60) — and the DuckDB oracle hashes identically, so parity
+    is exact by construction either way.
     """
     from pyspark import StorageLevel
 
-    # cand feeds four consumers (two unions below, the intersection join and
-    # the final projection) and sh three — without these persists the
-    # md5-per-shingle MinHash pass recomputes per consumer (~4x the whole
-    # signature cost; measured 25s -> ~8s at sf0.1). Pass ``cache_registry``
-    # to take ownership of the release (unpersist after the result is fully
-    # consumed); without it Spark's ContextCleaner unpersists once the
-    # consumed plan is garbage-collected — correct, but in a long-lived
-    # session several such caches can coexist.
-    cand = minhash_lsh_pairs(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # shd feeds three consumers (signature, sizes, intersection) and cand
+    # four (two unions below, the intersection join, the final projection) —
+    # without these persists the shingle pass recomputes per consumer
+    # (measured 25s -> ~8s at sf0.1 for the cand persist alone). Pass
+    # ``cache_registry`` to take ownership of the release (unpersist after
+    # the result is fully consumed); without it Spark's ContextCleaner
+    # unpersists once the consumed plan is garbage-collected — correct, but
+    # in a long-lived session several such caches can coexist.
+    shd = hashed_shingles(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_lsh_pairs(df, id_col, text_col, k, shingle_hashes=shd).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand_docs = cand.select(F.col("id_a").alias("doc")).unionByName(
         cand.select(F.col("id_b").alias("doc"))
     ).distinct()
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
-        )
-        .join(cand_docs, "doc", "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sh = shd.join(cand_docs, "doc", "left_semi")
     if cache_registry is not None:
-        cache_registry.extend((cand, sh))
+        cache_registry.extend((shd, cand))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (
-        cand.join(sh.select(F.col("doc").alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col("doc").alias("id_b"), "sh"), ["id_b", "sh"])
+        cand.join(sh.select(F.col("doc").alias("id_a"), "H"), "id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), "H"), ["id_b", "H"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -17,7 +17,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from bravewebcrawler_spark.plans import checkpoint as ckpt
@@ -132,74 +132,99 @@ def crawl(
         )
         if debug:
             print(f"  round {rnd} construct+dequeue-collect in {time.time() - t0:6.2f}s", flush=True)
-        # Warm + metrics FUSED into two jobs (was ~6): job 1 materializes the
-        # selected+fetched caches while computing both counts in one pass;
-        # job 2 (discovered.count) materializes bloom_delta → tagged →
-        # discovered in dependency order. Serial on purpose: Spark does not
-        # dedupe in-flight computation of a persisted partition, so parallel
-        # jobs over a cold cache would each recompute the dequeue+fetch chain
-        # (measured: 3x CPU + GC storm at local[32]).
+        # Bookkeeping rides on the writes (zero extra jobs in the common
+        # path): the crawl_log write IS the warm+count job — an Observation
+        # on it yields (dequeued, fetched_ok) while materializing the
+        # selected+fetched caches — and the frontier_delta write carries the
+        # frontier-size counts the same way. Ordering is still serial on
+        # purpose where caches are cold: Spark does not dedupe in-flight
+        # computation of a persisted partition, so parallel jobs over a cold
+        # cache would each recompute the dequeue+fetch chain (measured: 3x
+        # CPU + GC storm at local[32]).
         t_warm = time.time()
-        counts = out["fetched"].agg(
-            F.count("*").alias("n"),
+        obs_a = Observation()
+        log_obs = out["crawl_log"].observe(
+            obs_a,
+            F.count(F.lit(1)).alias("n"),
             F.count_if(F.col("status") == "FETCHED_OK").alias("ok"),
-        ).first()
+        )
+        ckpt.write_tables(state_dir, rnd, {"crawl_log": log_obs})
+        counts = obs_a.get
         dequeued, fetched_ok = counts["n"], counts["ok"]
         if debug:
-            print(f"  round {rnd} jobA fetch+agg in {time.time() - t_warm:6.2f}s", flush=True)
-        # fetched-derived outputs need only jobA's warm caches — write them
-        # WHILE jobB (discover→dedup→merge) computes; pure wall-clock overlap
+            print(f"  round {rnd} jobA fetch+crawl_log write in {time.time() - t_warm:6.2f}s", flush=True)
+        # remaining fetched-derived outputs need only warm caches — write
+        # them WHILE the discover→dedup→merge chain computes; pure overlap
         early_futs = ckpt.start_writes(
             state_dir, rnd,
             {
                 "seen": out["seen_delta"],
                 "host_state": out["host_state"],
                 "documents": out["documents"],
-                "crawl_log": out["crawl_log"],
             },
             write_pool,
         )
-        t_b = time.time()
-        # One tiny groupBy over the tagged frontier delta materializes the
-        # whole discover→dedup→merge chain (additions is an upstream cache)
-        # AND yields everything the bookkeeping needs — the frontier-size
-        # arithmetic counts and the per-band deltas for the dequeue band
-        # histogram — with no separate frontier scan for metrics.
-        fd_rows = (
-            out["fdelta_tagged"]
-            .groupBy(
-                F.col("__touched").alias("old_band"),
-                band_col(F.col("priority")).alias("new_band"),
-            )
-            .count()
-            .collect()
-        )
-        fdelta_cnt = sum(r["count"] for r in fd_rows)
-        touched_cnt = sum(r["count"] for r in fd_rows if r["old_band"] > -1000)
-        if debug:
-            print(f"  round {rnd} jobB fdelta in {time.time() - t_b:6.2f}s", flush=True)
-        if debug:
-            print(
-                f"  round {rnd} warm+counts in {time.time() - t_warm:6.2f}s "
-                f"(abs {time.time():.2f}, t0+{time.time() - t0:.2f})",
-                flush=True,
-            )
-
         # Commit O(delta): seen/bloom/frontier deltas every round; a full
         # frontier+bloom snapshot every compact_every rounds bounds both the
         # reconstruction read fan-in and the lazy cross-round plan depth.
-        # (seen/host_state/documents/crawl_log are already writing, started
-        # right after jobA.)
         is_compaction = rnd % max(policy.compact_every, 1) == 0
-        tables = {}
+        t_b = time.time()
+        fd_rows = None
+        fdelta_cnt = touched_cnt = 0
+        obs_b = None
+        if policy.dequeue_band_pruning and not is_compaction:
+            # Band-histogram path: the per-(old,new)-band count MAP cannot
+            # ride an Observation (fixed aggregate list only), so one tiny
+            # groupBy over the tagged delta materializes the chain AND
+            # yields the per-band deltas + the frontier-size counts.
+            fd_rows = (
+                out["fdelta_tagged"]
+                .groupBy(
+                    F.col("__touched").alias("old_band"),
+                    band_col(F.col("priority")).alias("new_band"),
+                )
+                .count()
+                .collect()
+            )
+            fdelta_cnt = sum(r["count"] for r in fd_rows)
+            touched_cnt = sum(r["count"] for r in fd_rows if r["old_band"] > -1000)
+            if debug:
+                print(f"  round {rnd} jobB fdelta in {time.time() - t_b:6.2f}s", flush=True)
         if is_compaction:
             base_round = rnd
-            tables["frontier"] = out["frontier"]
-            tables["bloom"] = out["bloom"].withColumn("round", F.lit(rnd))
+            # The snapshot write materializes the whole discovery chain
+            # (additions, fdelta_tagged, bloom probe incl. bloom_delta) in
+            # dependency order; the bloom write after it is a warm scan.
+            # Written one at a time — concurrent writes over these COLD
+            # caches would duplicate the chain in flight.
+            rd = ckpt.write_tables(state_dir, rnd, {"frontier": out["frontier"]})
+            ckpt.write_tables(
+                state_dir, rnd, {"bloom": out["bloom"].withColumn("round", F.lit(rnd))}
+            )
         else:
-            tables["frontier_delta"] = out["frontier_delta"]
-            tables["bloom_delta"] = out["bloom_delta"].withColumn("round", F.lit(rnd))
-        rd = ckpt.write_tables(state_dir, rnd, tables)
+            fdelta = out["frontier_delta"]
+            if fd_rows is None:
+                obs_b = Observation()
+                fdelta = (
+                    out["fdelta_tagged"]
+                    .observe(
+                        obs_b,
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_if(F.col("__touched") > -1000).alias("touched"),
+                    )
+                    .drop("__touched")
+                )
+            # frontier_delta first and alone (cold chain — see above), then
+            # the bloom delta as a warm scan of its persisted buckets.
+            rd = ckpt.write_tables(state_dir, rnd, {"frontier_delta": fdelta})
+            ckpt.write_tables(
+                state_dir, rnd, {"bloom_delta": out["bloom_delta"].withColumn("round", F.lit(rnd))}
+            )
+            if obs_b is not None:
+                b = obs_b.get
+                fdelta_cnt, touched_cnt = b["n"], b["touched"]
+        if debug:
+            print(f"  round {rnd} jobB/delta-writes in {time.time() - t_b:6.2f}s", flush=True)
         for f in early_futs:  # all tables durable before the manifest commit
             f.result()
         if debug:
