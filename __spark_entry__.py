@@ -185,6 +185,24 @@ def facts_per_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_facts_per_seed(src, [F.col("tier"), F.col("doc_id")])
 
 
+def facts_reference_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT output-CSV boundary shape
+    (brave_processor.py:231,257,46) as a driver-gated query: facts_per_seed
+    translated by plans/facts.facts_to_reference_csv — positional columns
+    company_number, company_name, the 7 EXPECTED_JSON_KEYS, processing_status,
+    with SQL NULL rendered as the literal 'null' sentinel at this boundary
+    only. Seeds are derived deterministically from the seed ids (the input
+    CSV analog)."""
+    from bravewebcrawler_spark.plans.facts import facts_to_reference_csv
+
+    facts = facts_per_seed(spark, sf_dir)
+    seeds = facts.select(
+        "seed_id",
+        F.concat(F.lit("http://seed"), F.col("seed_id").cast("string"), F.lit(".example.ch/")).alias("url"),
+    )
+    return facts_to_reference_csv(facts, seeds)
+
+
 def a2_missing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 missing-fields gate (models.py:14-16) over the battery output."""
     battery = f_regex_battery(spark, sf_dir)
@@ -888,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_status_taxonomy": p7_status_taxonomy,
         "f_regex_battery": f_regex_battery,
         "facts_per_seed": facts_per_seed,
+        "facts_reference_csv": facts_reference_csv,
         "a2_missing_counts": a2_missing_counts,
         "a1_coalesce_merge": a1_coalesce_merge,
         "f16_json_props": f16_json_props,
@@ -931,7 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "q1_pricing_summary": """
             select l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) as sum_qty,
@@ -1540,3 +1559,23 @@ def oracle_sql() -> dict[str, str]:
                   from documents)
         """,
     }
+    # Reference output-CSV boundary (facts_reference_csv): the facts_per_seed
+    # result translated to the exact reference column order with the 'null'
+    # string sentinel — derived from its oracle so the merge rule is stated
+    # exactly once.
+    sql["facts_reference_csv"] = f"""
+        with fps as ({sql["facts_per_seed"]})
+        select seed_id as company_number,
+               'http://seed' || cast(seed_id as varchar) || '.example.ch/' as company_name,
+               case when n_docs > 0 then 'http://seed' || cast(seed_id as varchar) || '.example.ch'
+                    else 'null' end as official_website,
+               coalesce(founded, 'null') as founded,
+               coalesce(address, 'null') as "Hauptsitz",
+               coalesce(che_id, 'null') as "Firmenidentifikationsnummer",
+               coalesce(phone, 'null') as "HauptTelefonnummer",
+               coalesce(email, 'null') as "HauptEmailAdresse",
+               'null' as "Geschäftsbericht",
+               status as processing_status
+        from fps
+    """
+    return sql
