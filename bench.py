@@ -80,11 +80,18 @@ def bench_crawl(spark) -> dict:
     # (k=7 -> FPR well under 1%; the bloom never decides membership). (At
     # 10^10 keys: scale bloom_buckets, keep ~32 KB/bucket — one Arrow batch
     # per task.)
+    # SPARK_GRAFT_BENCH_SCALE multiplies the round size (seeds, cap,
+    # politeness budget, bloom capacity) for the serial-floor amortization
+    # datapoint: per-round fixed costs are level-independent, so efficiency
+    # should rise with round size (VERDICT r2 #7). Default 1 = the
+    # configured 400k/800k bench.
+    scale = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1"))
     policy = CrawlPolicy(
-        capacity=50.0, rate=50.0, max_urls_per_round=800000, max_rounds=2,
+        capacity=50.0 * scale, rate=50.0 * scale,
+        max_urls_per_round=int(800000 * scale), max_rounds=2,
         max_depth=8,
         use_bloom=os.environ.get("SPARK_GRAFT_BLOOM", "1") == "1",
-        bloom_buckets=128, bloom_m_bits=1 << 18,
+        bloom_buckets=max(128, int(128 * scale)), bloom_m_bits=1 << 18,
     )
     # Seeds come from parquet, not a driver-local list: the reference reads
     # its input CSV from disk, and driver-side pickling of a 400k-row Python
@@ -94,7 +101,7 @@ def bench_crawl(spark) -> dict:
         "bench_seeds.parquet",
     )
     spark.createDataFrame(
-        web.seed_urls(400000), "seed_id string, url string"
+        web.seed_urls(int(400000 * scale)), "seed_id string, url string"
     ).coalesce(4).write.mode("overwrite").parquet(seeds_path)
     seeds = spark.read.parquet(seeds_path)
     # SPARK_GRAFT_STATE_DIR_BASE=/dev/shm/... for scaling runs: a real
@@ -110,6 +117,7 @@ def bench_crawl(spark) -> dict:
         "crawl_urls": res["total_dequeued"],
         "crawl_wall_s": round(wall, 2),
         "crawl_urls_per_s": round(res["total_dequeued"] / wall, 2),
+        "bench_scale": scale,
     }
 
 

@@ -55,7 +55,10 @@ def running_user_stats_stream(spark: SparkSession, events_path: str) -> DataFram
     )
 
 
-def run_stateful_to_memory(spark: SparkSession, events_path: str, name: str = "stateful_out") -> DataFrame:
+def run_stateful_to_memory(
+    spark: SparkSession, events_path: str, name: str = "stateful_out",
+    state_partitions: int | None = 8,
+) -> DataFrame:
     # the streaming file source requires a DIRECTORY; accept a bare parquet
     # file (the testdata layout) by streaming a temp dir that symlinks it
     import os
@@ -65,15 +68,30 @@ def run_stateful_to_memory(spark: SparkSession, events_path: str, name: str = "s
         d = tempfile.mkdtemp(prefix="bwc_stream_")
         os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
         events_path = d
-    q = (
-        running_user_stats_stream(spark, events_path)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # State-store instance count == shuffle partitions AT STREAM START, and
+    # each instance pays per-batch fixed cost (store init + one Arrow
+    # exchange with a Python worker): measured interleaved at sf0.1,
+    # 32 partitions -> 4.2-9.6s vs 8 -> 2.5s for the identical query. Size
+    # it to key cardinality: tiny keyspaces want few instances; a
+    # production stream with millions of keys passes None to keep the
+    # session's (cluster-sized) setting. The override is scoped — streaming
+    # queries capture the conf at start; restored before post-processing.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            running_user_stats_stream(spark, events_path)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update mode emits one row per key per batch; the LAST emission per key
     # is the final running value (single finite source => one batch here,
     # but dedupe defensively by taking max n_events per key)
