@@ -118,6 +118,7 @@ def bench_crawl(spark) -> dict:
         "crawl_wall_s": round(wall, 2),
         "crawl_urls_per_s": round(res["total_dequeued"] / wall, 2),
         "bench_scale": scale,
+        "executors": int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0")),
     }
 
 
@@ -130,7 +131,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from bravewebcrawler_spark.session import get_spark
 
-    spark = get_spark("bwc-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    # SPARK_GRAFT_EXECUTORS=N switches to local-cluster[N,2,...] — N real
+    # executor JVMs (the north rule's N-vs-4N-executors shape); master=None
+    # lets the session factory build it.
+    n_exec = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0"))
+    if n_exec > 0:
+        cpus = n_exec * 2
+        spark = get_spark("bwc-bench", master=None, shuffle_partitions=max(cpus, 8))
+    else:
+        spark = get_spark("bwc-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     qs = entrymod.queries()
 
     # warm the JVM/codegen once so per-query timings measure the plan, not startup

@@ -28,13 +28,29 @@ def get_spark(
     spark-submit deployment (where master is injected externally).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_exec = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0"))
     if master is None:
-        master = f"local[{cpus}]"
+        if n_exec > 0:
+            # Multi-executor mode: N SEPARATE executor JVMs on this host
+            # (Spark's local-cluster). This is the faithful stand-in for the
+            # north rule's "N vs 4N executors": each executor has its own
+            # heap and GC, so scaling does not funnel every task thread's
+            # allocation rate through one shared heap the way local[K] does.
+            # cores/exec fixed at 2 (a common small-executor shape); memory
+            # per executor from SPARK_GRAFT_EXEC_MEM_MB (default 12288).
+            mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "12288"))
+            master = f"local-cluster[{n_exec},2,{mem_mb}]"
+            cpus = n_exec * 2
+        else:
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # Default ~1x cores locally; SPARK_GRAFT_SHUFFLE_MULT raises it (2-3x
         # cores gives multi-wave stages whose stragglers rebalance — what a
         # real cluster runs; on one pass 2-3x total executor cores).
-        n = int(master[master.index("[") + 1 : -1]) if "[" in master else cpus
+        if master.startswith("local-cluster["):
+            n = cpus
+        else:
+            n = int(master[master.index("[") + 1 : -1]) if "[" in master else cpus
         mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1"))
         shuffle_partitions = max(n * mult, 8)
 
@@ -55,7 +71,12 @@ def get_spark(
         # multi-MB broadcast build every round. Statically-known small dims
         # still broadcast under the 64 MB planner threshold above.
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
+        # In executor mode the driver runs no tasks — keep it small so
+        # driver + N executor heaps fit the host together.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", "16g" if n_exec > 0 else "90g"),
+        )
         # Throughput GC: G1's pause-time goal thrashes under 32 task threads'
         # allocation rate (measured: 226s -> 102s on the crawl bench at
         # local[32]); batch analytics prefers ParallelGC throughput.
@@ -63,6 +84,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if master.startswith("local-cluster["):
+        # Executor JVMs are separate processes: same GC policy as the driver,
+        # and the engine package on the Python workers' path (the production
+        # analog is spark-submit --py-files; here the repo dir suffices).
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executor.extraJavaOptions", os.environ.get("BWC_JVM_OPTS", "-XX:+UseParallelGC"))
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
