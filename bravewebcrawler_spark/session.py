@@ -88,9 +88,14 @@ def get_spark(
         # Executor JVMs are separate processes: same GC policy as the driver,
         # and the engine package on the Python workers' path (the production
         # analog is spark-submit --py-files; here the repo dir suffices).
+        # spark.executor.memory MUST be set explicitly: the master string's
+        # third field is only the WORKER's offered memory; executors would
+        # otherwise request the 1g default and OOM on the heavy stages.
+        worker_mem_mb = master[len("local-cluster[") : -1].split(",")[2].strip()
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = (
             builder.config("spark.executor.extraJavaOptions", os.environ.get("BWC_JVM_OPTS", "-XX:+UseParallelGC"))
+            .config("spark.executor.memory", f"{worker_mem_mb}m")
             .config("spark.executorEnv.PYTHONPATH", repo_root)
         )
     if extra_conf:
