@@ -1,0 +1,29 @@
+#!/bin/bash
+# North-rule shape: N vs 4N EXECUTORS as real separate JVMs
+# (local-cluster[N,2,mem]) — each executor has its own heap/GC, like a real
+# cluster; the driver gets the SAME +2-core allowance at both levels (a real
+# driver is a separate node; executor cores are exactly 2 vs 8 = 4x).
+# Interleaved reps, best-of; results appended to BENCH/reps_exec.jsonl.
+set -u
+export SPARK_HOME="${SPARK_HOME:-/opt/spark}"   # local-cluster launches workers via sbin scripts
+export JAVA_HOME="${JAVA_HOME:-$(dirname "$(dirname "$(readlink -f "$(which java)")")")}"
+cd "$(dirname "$0")/.."
+REPS="${1:-3}"
+for rep in $(seq 0 $((REPS - 1))); do
+  for ex in 1 4; do
+    cores=$((ex * 2 + 2))
+    rm -rf /dev/shm/bwc-state; mkdir -p /dev/shm/bwc-state /dev/shm/spark-tmp
+    out=$(SPARK_GRAFT_EXECUTORS=$ex SPARK_GRAFT_CRAWL_ONLY=1 \
+      SPARK_GRAFT_EXEC_MEM_MB=16384 \
+      SPARK_LOCAL_DIRS=/dev/shm/spark-tmp SPARK_GRAFT_STATE_DIR_BASE=/dev/shm/bwc-state \
+      taskset -c 0-$((cores-1)) python bench.py 2>"/tmp/exec_pair_r${rep}_e${ex}.err" | tail -1)
+    echo "rep $rep executors=$ex: $out"
+    if [ -n "$out" ]; then
+      echo "{\"rep\": $rep, \"mode\": \"exec\", $(echo "$out" | sed 's/^{//')" >> BENCH/reps_exec.jsonl
+    else
+      echo "  RUN FAILED — tail of stderr:"; tail -5 "/tmp/exec_pair_r${rep}_e${ex}.err"
+    fi
+    rm -rf /dev/shm/bwc-state
+  done
+done
+echo DONE
