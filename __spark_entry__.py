@@ -449,6 +449,21 @@ def dedup_lsh_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_release(pairs, caches)
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    LSH-refined near-dup pairs — (doc_id, component) for every corpus doc,
+    component = min doc id reachable through the pair graph (singletons map
+    to themselves). The keep-one-per-cluster step a corpus pipeline runs
+    after pairwise dedup: (a,b),(b,c) collapse to one cluster {a,b,c}."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    caches: list = []
+    pairs = DD.lsh_refined_pairs(corpus, "doc_id", "text", k=3, threshold=0.6, cache_registry=caches)
+    pairs = _materialize_and_release(pairs, caches)
+    comp = DD.connected_components(pairs, corpus, id_col="doc_id", cache_registry=caches)
+    out = comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    return _materialize_and_release(out, caches)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
     return DD.simhash_groups(corpus, "doc_id", "text", bits=16).where(F.col("n_docs") > 1)
@@ -835,6 +850,42 @@ from corpus)
 
 _SQL_MINHASH_H = "cast(('0x' || substr(md5(s), 1, 15)) as bigint) % 1000000007"
 
+def _sql_refined_ctes() -> str:
+    """Shared by the dedup_lsh_refined and dedup_components oracles (appended
+    after _SQL_CORPUS): MinHash band candidates refined by exact Jaccard on
+    the portable 60-bit shingle hash, ending in a `refined` CTE of
+    (id_a, id_b, jaccard) pairs at threshold 0.6."""
+    return f"""
+            tk2 as (select doc_id as doc, {DD.sql_shingles('text', 3)} as sh,
+                           list_filter(string_split(text, ' '), t -> t <> '') as toks
+                    from corpus),
+            sig as (select doc,
+                      list_transform(range(0, 16), j ->
+                        list_min(list_transform(sh, s -> (({_SQL_MINHASH_H}) * (2*j+3) + (5*j+7)) % 1000000007))) as sig
+                    from tk2 where len(toks) >= 3),
+            banded as (select doc, b as band,
+                         list_reduce(list_prepend(cast(0 as bigint), list_slice(sig, b*4+1, b*4+4)),
+                                     (acc, v) -> (acc * 31 + v) % 1000000007) as band_key
+                       from sig cross join range(4) t(b)),
+            cand as (select distinct a.doc as id_a, b.doc as id_b
+                     from banded a join banded b
+                       on a.band = b.band and a.band_key = b.band_key and a.doc < b.doc),
+            -- refinement on the portable 60-bit shingle hash, matching the
+            -- engine's shared hashed_shingles pass (operators/dedup.py)
+            shg as (select doc, cast(('0x' || substr(md5(sh), 1, 15)) as bigint) as h
+                    from (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from corpus)),
+            sizes as (select doc, count(*) as sz from shg group by 1),
+            inter as (select id_a, id_b, count(*) as n_inter
+                      from cand
+                      join shg a on a.doc = id_a
+                      join shg b2 on b2.doc = id_b and b2.h = a.h
+                      group by 1, 2),
+            refined as (
+              select id_a, id_b, jaccard from (
+                select id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 4) as jaccard
+                from inter join sizes sa on sa.doc = id_a join sizes sb on sb.doc = id_b)
+              where jaccard >= 0.6)"""
+
 
 def _sql_bucket(v: str, n_planes: int = 8) -> str:
     """DuckDB twin of operators.similarity.hyperplane_sign_bucket."""
@@ -922,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_lsh_refined": dedup_lsh_refined,
+        "dedup_components": dedup_components,
         "corpus_prep": corpus_prep,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1197,34 +1249,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_lsh_refined": f"""
             {_SQL_CORPUS},
-            tk2 as (select doc_id as doc, {DD.sql_shingles('text', 3)} as sh,
-                           list_filter(string_split(text, ' '), t -> t <> '') as toks
-                    from corpus),
-            sig as (select doc,
-                      list_transform(range(0, 16), j ->
-                        list_min(list_transform(sh, s -> (({_SQL_MINHASH_H}) * (2*j+3) + (5*j+7)) % 1000000007))) as sig
-                    from tk2 where len(toks) >= 3),
-            banded as (select doc, b as band,
-                         list_reduce(list_prepend(cast(0 as bigint), list_slice(sig, b*4+1, b*4+4)),
-                                     (acc, v) -> (acc * 31 + v) % 1000000007) as band_key
-                       from sig cross join range(4) t(b)),
-            cand as (select distinct a.doc as id_a, b.doc as id_b
-                     from banded a join banded b
-                       on a.band = b.band and a.band_key = b.band_key and a.doc < b.doc),
-            -- refinement on the portable 60-bit shingle hash, matching the
-            -- engine's shared hashed_shingles pass (operators/dedup.py)
-            shg as (select doc, cast(('0x' || substr(md5(sh), 1, 15)) as bigint) as h
-                    from (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from corpus)),
-            sizes as (select doc, count(*) as sz from shg group by 1),
-            inter as (select id_a, id_b, count(*) as n_inter
-                      from cand
-                      join shg a on a.doc = id_a
-                      join shg b2 on b2.doc = id_b and b2.h = a.h
-                      group by 1, 2)
-            select id_a, id_b, jaccard from (
-              select id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 4) as jaccard
-              from inter join sizes sa on sa.doc = id_a join sizes sb on sb.doc = id_b)
-            where jaccard >= 0.6
+            {_sql_refined_ctes()}
+            select id_a, id_b, jaccard from refined
+        """,
+        "dedup_components": f"""
+            {_SQL_CORPUS.replace("with tk", "with recursive tk", 1)},
+            {_sql_refined_ctes()},
+            und as (select id_a as u, id_b as v from refined
+                    union all
+                    select id_b as u, id_a as v from refined),
+            reach as (
+              select doc_id as node, doc_id as label from corpus
+              union
+              select und.v as node, reach.label
+              from reach join und on und.u = reach.node
+            )
+            select node as doc_id, min(label) as component from reach group by 1
         """,
         "corpus_prep": f"""
             {_SQL_CORPUS},

@@ -322,3 +322,78 @@ def simhash_near_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "node",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over an undirected
+    near-dup pair list — ``(node, component)`` with component = the minimum
+    node id reachable from ``node``.
+
+    This is the step that turns pairwise dedup output (minhash_lsh_pairs /
+    lsh_refined_pairs / simhash_near_pairs) into keep-one-per-cluster
+    groups, as a large-corpus pipeline needs: pairs (a,b),(b,c) must
+    collapse to ONE cluster {a,b,c}, which no per-pair filter can do.
+
+    Min-label propagation: every round each node takes the min label over
+    itself and its neighbors — one partitioned equi-join on node id plus one
+    min-groupBy per round, O(diameter) rounds. Near-dup clusters are dense
+    (band collisions make them near-cliques, diameter 1-3), so a handful of
+    rounds closes a corpus; convergence is detected by a one-number action
+    (sum of labels — each label is nonincreasing and a round that changes
+    nothing changes no label, so an unchanged sum IS the fixpoint; summed as
+    decimal(38,0) so 10^10 nodes cannot overflow). No all-pairs anything:
+    at 10^10 edges each round shuffles on node ids only. For graphs with
+    adversarially long chains swap the round body for large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") behind the same signature; for the dedup-cluster topology the
+    simple propagation does fewer shuffles per round.
+
+    Each round's labels are persisted and the previous round's released
+    explicitly (deterministic lifecycle); pass ``cache_registry`` to take
+    ownership of releasing the FINAL result's persist, else the caller
+    should unpersist it (or materialize-and-release) after consumption.
+    """
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .union(edges.select(F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cur = (
+        nodes.select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ssum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    cur_sum = cur.agg(ssum).collect()[0][0]
+    for _ in range(max_iters):
+        prop = und.join(cur, und["u"] == cur["node"]).select(
+            F.col("v").alias("node"), F.col("comp")
+        )
+        new = (
+            cur.select("node", "comp")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_sum = new.agg(ssum).collect()[0][0]
+        if new_sum == cur_sum:
+            new.unpersist()
+            break
+        cur.unpersist()
+        cur, cur_sum = new, new_sum
+    und.unpersist()
+    if cache_registry is not None:
+        cache_registry.append(cur)
+    return cur
