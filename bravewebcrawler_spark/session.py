@@ -98,6 +98,11 @@ def get_spark(
             .config("spark.executor.memory", f"{worker_mem_mb}m")
             .config("spark.executorEnv.PYTHONPATH", repo_root)
         )
+    # Ad-hoc conf overrides for benchmarking (e.g. AQE advisory partition
+    # size A/B runs): BWC_EXTRA_CONF="k1=v1;k2=v2".
+    for kv in filter(None, os.environ.get("BWC_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
