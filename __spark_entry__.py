@@ -18,7 +18,9 @@ from bravewebcrawler_spark.functions import extract as X
 from bravewebcrawler_spark.functions import text as TX
 from bravewebcrawler_spark.operators import dedup as DD
 from bravewebcrawler_spark.operators import merge as MG
+from bravewebcrawler_spark.operators import packing as PK
 from bravewebcrawler_spark.operators import ranking as RK
+from bravewebcrawler_spark.operators import sampling as SP
 from bravewebcrawler_spark.operators import similarity as SIM
 
 
@@ -464,6 +466,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_release(out, caches)
 
 
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus roster: one representative per duplicate
+    cluster (min doc id) with its member count — what a training-data
+    pipeline actually writes out after near-dup collapse. Singleton docs are
+    their own representative with n_members = 1."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    caches: list = []
+    pairs = DD.lsh_refined_pairs(corpus, "doc_id", "text", k=3, threshold=0.6, cache_registry=caches)
+    pairs = _materialize_and_release(pairs, caches)
+    comp = DD.connected_components(pairs, corpus, id_col="doc_id", cache_registry=caches)
+    out = comp.groupBy(F.col("comp").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return _materialize_and_release(out, caches)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
     return DD.simhash_groups(corpus, "doc_id", "text", bits=16).where(F.col("n_docs") > 1)
@@ -547,6 +565,50 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.ws_token_count_col(F.col("text")).cast("long").alias("ws_tokens"),
         TX.bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe_tokens"),
         F.round(TX.stopword_ratio_col(F.col("text")), 4).alias("stopword_ratio"),
+    )
+
+
+# Data-mixing rates / quotas for the sampling queries: upsample low-resource
+# languages, downsample the dominant one — the canonical corpus-mixing shape.
+_MIX_RATES = {"de": 0.8, "fr": 0.6, "en": 0.3}  # es/zh fall to the default
+_MIX_DEFAULT_RATE = 0.1
+_MIX_QUOTAS = {"de": 40, "en": 50, "fr": 30}
+_MIX_DEFAULT_QUOTA = 20
+_PACK_BUDGET = 512
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only deterministic Bernoulli mixing: keep iff u(doc_id) <
+    rate(lang). Zero shuffle — the 100-TB data-mixing path
+    (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SP.stratified_sample_hash(
+        docs, "lang", "doc_id", rates=_MIX_RATES, default_rate=_MIX_DEFAULT_RATE
+    )
+
+
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sampling (rank by deterministic u inside the
+    stratum) — the verification / small-stratum variant."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = SP.stratified_sample_exact(
+        docs, "lang", "doc_id", quotas=_MIX_QUOTAS, default_quota=_MIX_DEFAULT_QUOTA
+    )
+    return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
+
+
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate-and-chunk documents into 512-token
+    training sequences via a distributed weighted prefix sum — no
+    global-order window (operators/packing.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", TX.ws_token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    caches: list = []
+    out = PK.pack_sequences(d, "doc_id", "n_tokens", budget=_PACK_BUDGET, cache_registry=caches)
+    return _materialize_and_release(
+        out.select("doc_id", "n_tokens", "pack_id", "pack_offset"), caches
     )
 
 
@@ -974,7 +1036,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_lsh_refined": dedup_lsh_refined,
         "dedup_components": dedup_components,
+        "dedup_keep_one": dedup_keep_one,
         "corpus_prep": corpus_prep,
+        "sample_stratified": sample_stratified,
+        "sample_stratified_exact": sample_stratified_exact,
+        "corpus_pack": corpus_pack,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "embed_neardup_lsh": embed_neardup_lsh,
@@ -999,6 +1065,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f15_json_decode": f15_json_decode,
         "metrics_cube": metrics_cube,
     }
+
+
+# Portable uniform draw u(doc_id) ∈ [0,1) — the DuckDB twin of
+# operators/sampling.py _uniform_col (exact integer ÷ 2^60 in double).
+_SQL_U = (
+    "cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15)) as bigint)"
+    " / 1152921504606846976.0"
+)
+
+
+def _sql_mix_case(mapping: dict, default, as_double: bool) -> str:
+    """CASE lang ... built from the SAME dict the Spark query uses."""
+    cast = (lambda v: f"cast({v} as double)") if as_double else (lambda v: str(int(v)))
+    whens = " ".join(f"when '{k}' then {cast(mapping[k])}" for k in sorted(mapping))
+    return f"case lang {whens} else {cast(default)} end"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1265,6 +1346,48 @@ def oracle_sql() -> dict[str, str]:
               from reach join und on und.u = reach.node
             )
             select node as doc_id, min(label) as component from reach group by 1
+        """,
+        "dedup_keep_one": f"""
+            {_SQL_CORPUS.replace("with tk", "with recursive tk", 1)},
+            {_sql_refined_ctes()},
+            und as (select id_a as u, id_b as v from refined
+                    union all
+                    select id_b as u, id_a as v from refined),
+            reach as (
+              select doc_id as node, doc_id as label from corpus
+              union
+              select und.v as node, reach.label
+              from reach join und on und.u = reach.node
+            ),
+            comp as (select node, min(label) as component from reach group by 1)
+            select component as doc_id, count(*) as n_members from comp group by 1
+        """,
+        "sample_stratified": f"""
+            select doc_id, lang from documents
+            where {_SQL_U} < ({_sql_mix_case(_MIX_RATES, _MIX_DEFAULT_RATE, as_double=True)})
+        """,
+        "sample_stratified_exact": f"""
+            with d as (select doc_id, lang, {_SQL_U} as u from documents),
+            r as (select doc_id, lang,
+                         row_number() over (partition by lang order by u, doc_id) as sample_rank
+                  from d)
+            select doc_id, lang, sample_rank from r
+            where sample_rank <= ({_sql_mix_case(_MIX_QUOTAS, _MIX_DEFAULT_QUOTA, as_double=False)})
+        """,
+        "corpus_pack": f"""
+            with d as (select doc_id,
+                              cast(len(list_filter(string_split(text, ' '), t -> t <> '')) as bigint) as n_tokens,
+                              cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15)) as bigint) as u
+                       from documents),
+            o as (select doc_id, n_tokens,
+                         cast(coalesce(sum(n_tokens) over (order by u, doc_id
+                                    rows between unbounded preceding and 1 preceding), 0)
+                              as bigint) as off
+                  from d)
+            select doc_id, n_tokens,
+                   off // {_PACK_BUDGET} as pack_id,
+                   off % {_PACK_BUDGET} as pack_offset
+            from o
         """,
         "corpus_prep": f"""
             {_SQL_CORPUS},
