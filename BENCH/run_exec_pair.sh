@@ -18,8 +18,12 @@ cd "$(dirname "$0")/.."
 REPS="${1:-3}"
 SCALE="${2:-1}"
 MULT="${SPARK_GRAFT_SHUFFLE_MULT:-4}"
+# N and 4N executor counts for the pair; e.g. LEVELS="2 8" measures
+# 2 executors (4 cores) vs 8 executors (16 cores) — same 4x rule, smaller
+# relative driver-core allowance than the default 1-vs-4 pair.
+LEVELS="${SPARK_GRAFT_EXEC_LEVELS:-1 4}"
 for rep in $(seq 0 $((REPS - 1))); do
-  for ex in 1 4; do
+  for ex in $LEVELS; do
     cores=$((ex * 2 + 2))
     rm -rf /dev/shm/bwc-state; mkdir -p /dev/shm/bwc-state /dev/shm/spark-tmp
     out=$(SPARK_GRAFT_EXECUTORS=$ex SPARK_GRAFT_CRAWL_ONLY=1 \
