@@ -1,0 +1,51 @@
+"""Host memory-bandwidth scaling probe — context for the exec-mode ceiling.
+
+N pinned processes each stream over a private 512 MB float64 array
+(copy + scale: ~3 DRAM touches per rep). Reports aggregate GB/s at N=2 and
+N=8 and the implied 2->8 "scaling efficiency" of pure streaming work on THIS
+host. A single-socket sandbox shares one memory controller across all cores;
+a real 4-executor cluster has 4x the memory channels, so the number printed
+here is a hardware ceiling the crawl's own 1->4-executor efficiency should
+be read against (BENCH/BASELINE.md).
+
+Usage: taskset -c 16-31 python BENCH/bw_probe.py   (idle host, off the
+bench cores — run nothing else concurrently)
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import time
+
+
+def _worker(core: int, out: mp.Queue) -> None:
+    os.sched_setaffinity(0, {core})
+    import numpy as np
+
+    a = np.ones(64 * 1024 * 1024, dtype=np.float64)  # 512 MB, far beyond L3
+    b = np.empty_like(a)
+    reps = 6
+    t0 = time.time()
+    for _ in range(reps):
+        np.copyto(b, a)
+        a *= 1.0000001
+    out.put(reps * a.nbytes * 3 / (time.time() - t0))
+
+
+def run(n: int, base_core: int = 16) -> float:
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=_worker, args=(base_core + i, q)) for i in range(n)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return sum(q.get() for _ in ps) / 1e9
+
+
+if __name__ == "__main__":
+    g2 = run(2)
+    g8 = run(8)
+    print(f"2 procs: {g2:.1f} GB/s aggregate")
+    print(f"8 procs: {g8:.1f} GB/s aggregate")
+    print(f"streaming 2->8 scaling efficiency: {g8 / (4 * g2):.3f}")
