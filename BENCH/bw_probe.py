@@ -44,8 +44,13 @@ def run(n: int, base_core: int = 16) -> float:
 
 
 if __name__ == "__main__":
+    import json
+
     g2 = run(2)
     g8 = run(8)
     print(f"2 procs: {g2:.1f} GB/s aggregate")
     print(f"8 procs: {g8:.1f} GB/s aggregate")
     print(f"streaming 2->8 scaling efficiency: {g8 / (4 * g2):.3f}")
+    out = {"gbs_2": round(g2, 1), "gbs_8": round(g8, 1), "eff_2_8": round(g8 / (4 * g2), 3)}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bw_probe.json"), "w") as f:
+        json.dump(out, f)

@@ -28,6 +28,9 @@ identical runs has measured up to 1.8x), best-of-reps per level.
 Every run APPENDS its draw to BENCH/reps_local.jsonl (this script) or
 BENCH/reps_exec.jsonl (run_exec_pair.sh); rendering reads ALL recorded
 draws, so sweeps compose across invocations and nothing is lost on rerun.
+Draws taken against a substantially changed engine belong in an archive
+file (e.g. reps_local_r2.jsonl holds the pre-round-3 draws), never mixed
+into the live best-of.
 
 Usage:
   python BENCH/run_scaling.py [--repeat K]   # run local-mode sweep, then render
@@ -220,6 +223,31 @@ Per-rep draws for the headline config (interleaved; best per level used above):
             "## Headline: N vs 4N real executor JVMs (local-cluster)\n\n"
             "(no exec-mode draws recorded yet — run BENCH/run_exec_pair.sh)\n"
         )
+
+    # host memory-bandwidth ceiling (BENCH/bw_probe.py, run on an idle host)
+    bw_path = os.path.join(REPO, "BENCH", "bw_probe.json")
+    if os.path.exists(bw_path):
+        with open(bw_path) as f:
+            bw = json.load(f)
+        exec_section += f"""
+### Host ceiling: single-socket memory bandwidth
+
+All executor JVMs here share ONE socket's memory controller; a real
+4-executor cluster has 4x the memory channels. Pure streaming work
+(BENCH/bw_probe.py: N pinned processes copy+scale over private 512 MB
+arrays, idle host) measures this hardware's own 2-core -> 8-core scaling:
+
+| procs | aggregate GB/s |
+|---|---|
+| 2 | {bw["gbs_2"]} |
+| 8 | {bw["gbs_8"]} |
+
+Streaming 2->8 "efficiency" = {bw["eff_2_8"]:.3f} — the bandwidth-bound
+ceiling this host imposes on ANY 4x core scale-up. The crawl's measured
+exec-mode efficiency should be read against this ceiling: the engine's
+own overheads account only for the gap between the two numbers, and on a
+real cluster (memory channels scale with executors) that ceiling is ~1.
+"""
 
     # --- local-thread secondary table ---
     t = {c: bl[c]["crawl_urls_per_s"] for c in LEVELS if c in bl}
