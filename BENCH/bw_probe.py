@@ -45,12 +45,27 @@ def run(n: int, base_core: int = 16) -> float:
 
 if __name__ == "__main__":
     import json
+    import sys
 
-    g2 = run(2)
-    g8 = run(8)
-    print(f"2 procs: {g2:.1f} GB/s aggregate")
-    print(f"8 procs: {g8:.1f} GB/s aggregate")
-    print(f"streaming 2->8 scaling efficiency: {g8 / (4 * g2):.3f}")
-    out = {"gbs_2": round(g2, 1), "gbs_8": round(g8, 1), "eff_2_8": round(g8 / (4 * g2), 3)}
+    # Same protocol as the crawl bench: reps INTERLEAVED across levels,
+    # best-of per level. The host's available bandwidth swings hard
+    # run-to-run (measured 7.8 vs 14.5 GB/s at 8 procs minutes apart —
+    # shared-hardware neighbors), so a single draw per level can report
+    # anything from 0.38 to 0.68 for the same machine.
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    draws: dict[int, list[float]] = {2: [], 8: []}
+    for _ in range(reps):
+        for n in (2, 8):
+            draws[n].append(run(n))
+    g2, g8 = max(draws[2]), max(draws[8])
+    for n in (2, 8):
+        print(f"{n} procs: best {max(draws[n]):.1f} GB/s of {[round(g,1) for g in draws[n]]}")
+    print(f"streaming 2->8 scaling efficiency (best-of-{reps}): {g8 / (4 * g2):.3f}")
+    out = {
+        "gbs_2": round(g2, 1), "gbs_8": round(g8, 1),
+        "eff_2_8": round(g8 / (4 * g2), 3), "reps": reps,
+        "draws_2": [round(g, 1) for g in draws[2]],
+        "draws_8": [round(g, 1) for g in draws[8]],
+    }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bw_probe.json"), "w") as f:
         json.dump(out, f)

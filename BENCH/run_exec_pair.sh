@@ -26,11 +26,15 @@ for rep in $(seq 0 $((REPS - 1))); do
   for ex in $LEVELS; do
     cores=$((ex * 2 + 2))
     rm -rf /dev/shm/bwc-state; mkdir -p /dev/shm/bwc-state /dev/shm/spark-tmp
-    out=$(SPARK_GRAFT_EXECUTORS=$ex SPARK_GRAFT_CRAWL_ONLY=1 \
+    # Full stdout (incl. BWC_DEBUG_TIMING per-phase lines) kept per run for
+    # serial-floor attribution; the JSON line is the last line.
+    log="/tmp/exec_pair_r${rep}_e${ex}_s${SCALE}.log"
+    BWC_DEBUG_TIMING="${BWC_DEBUG_TIMING:-1}" SPARK_GRAFT_EXECUTORS=$ex SPARK_GRAFT_CRAWL_ONLY=1 \
       SPARK_GRAFT_EXEC_MEM_MB=16384 SPARK_GRAFT_BENCH_SCALE=$SCALE \
       SPARK_GRAFT_SHUFFLE_MULT=$MULT \
       SPARK_LOCAL_DIRS=/dev/shm/spark-tmp SPARK_GRAFT_STATE_DIR_BASE=/dev/shm/bwc-state \
-      taskset -c 0-$((cores-1)) python bench.py 2>"/tmp/exec_pair_r${rep}_e${ex}.err" | tail -1)
+      taskset -c 0-$((cores-1)) python bench.py >"$log" 2>"/tmp/exec_pair_r${rep}_e${ex}.err"
+    out=$(grep '^{' "$log" | tail -1)
     echo "rep $rep executors=$ex scale=$SCALE: $out"
     if [ -n "$out" ]; then
       echo "{\"rep\": $rep, \"mode\": \"exec\", \"shuffle_mult\": $MULT, $(echo "$out" | sed 's/^{//')" >> BENCH/reps_exec.jsonl
