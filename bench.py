@@ -43,7 +43,12 @@ HEADLINE = [
     "dedup_lsh_refined",
     "corpus_prep",
     "dedup_exact",
+    "dedup_components",
+    "dedup_keep_one",
+    "sample_stratified",
+    "corpus_pack",
     "facts_per_seed",
+    "facts_reference_csv",
     "embed_neardup_lsh",
     "s6_entity_lookup",
     "text_fingerprint",
