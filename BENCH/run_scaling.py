@@ -235,12 +235,16 @@ Per-rep draws for the headline config (interleaved; best per level used above):
 All executor JVMs here share ONE socket's memory controller; a real
 4-executor cluster has 4x the memory channels. Pure streaming work
 (BENCH/bw_probe.py: N pinned processes copy+scale over private 512 MB
-arrays, idle host) measures this hardware's own 2-core -> 8-core scaling:
+arrays, idle host) measures this hardware's own 2-core -> 8-core scaling.
+The host's AVAILABLE bandwidth itself swings between identical runs
+(shared hardware — measured {min(bw.get("draws_8", [bw["gbs_8"]]))} vs
+{max(bw.get("draws_8", [bw["gbs_8"]]))} GB/s at 8 procs minutes apart), so
+the probe interleaves reps like the crawl bench and reports best-of:
 
-| procs | aggregate GB/s |
-|---|---|
-| 2 | {bw["gbs_2"]} |
-| 8 | {bw["gbs_8"]} |
+| procs | aggregate GB/s (best of {bw.get("reps", 1)}) | all draws |
+|---|---|---|
+| 2 | {bw["gbs_2"]} | {bw.get("draws_2", [bw["gbs_2"]])} |
+| 8 | {bw["gbs_8"]} | {bw.get("draws_8", [bw["gbs_8"]])} |
 
 Streaming 2->8 "efficiency" = {bw["eff_2_8"]:.3f} — the bandwidth-bound
 ceiling this host imposes on ANY 4x core scale-up. The crawl's measured

@@ -568,6 +568,37 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rules as pure column expressions:
+    duplicate-line fraction, duplicate-2-gram fraction, symbol-to-word ratio
+    (functions/text.py). Map-only — the 100-TB quality-filter shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.dup_line_fraction_col(F.col("text")).alias("dup_line_frac"),
+        TX.dup_ngram_fraction_col(F.col("text"), 2).alias("dup_2gram_frac"),
+        TX.symbol_word_ratio_col(F.col("text")).alias("symbol_word_ratio"),
+    )
+
+
+# Decontamination shingle width: 5-gram overlap (the PaLM-style rule is
+# 13-gram; the synthetic corpus' sentences are short, so 5 keeps the query
+# non-trivial while the operator itself is width-agnostic).
+_DECONTAM_K = 5
+
+
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): corpus docs sharing
+    any 5-gram with the 'benchmark' slice (doc_id % 83 == 0), benchmark-side
+    broadcast semi-join — the corpus is never shuffled."""
+    from bravewebcrawler_spark.operators.decontam import contamination_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 83 == 0)
+    corp = docs.where(F.col("doc_id") % 83 != 0)
+    return contamination_hits(corp, bench, "doc_id", "text", "text", k=_DECONTAM_K)
+
+
 # Data-mixing rates / quotas for the sampling queries: upsample low-resource
 # languages, downsample the dominant one — the canonical corpus-mixing shape.
 _MIX_RATES = {"de": 0.8, "fr": 0.6, "en": 0.3}  # es/zh fall to the default
@@ -1048,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_quality": text_quality,
         "text_token_stats": text_token_stats,
+        "text_repetition": text_repetition,
+        "decontam_overlap": decontam_overlap,
         "embed_neardup": embed_neardup,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1520,6 +1553,38 @@ def oracle_sql() -> dict[str, str]:
                          / cast(greatest(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 1) as double),
                          4) as stopword_ratio
             from documents
+        """,
+        "text_repetition": """
+            with lx as (select doc_id,
+                          list_filter(string_split(text, chr(10)), l -> l <> '') as lines,
+                          list_filter(string_split(text, ' '), t -> t <> '') as toks,
+                          text
+                        from documents),
+            g as (select doc_id, lines, toks, text,
+                    case when len(toks) >= 2 then
+                      list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                    else [] end as grams
+                  from lx)
+            select doc_id,
+                   case when len(lines) > 0 then
+                     floor((1.0 - len(list_distinct(lines)) / cast(len(lines) as double)) * 10000) / 10000
+                   else 0.0 end as dup_line_frac,
+                   case when len(grams) > 0 then
+                     floor((1.0 - len(list_distinct(grams)) / cast(len(grams) as double)) * 10000) / 10000
+                   else 0.0 end as dup_2gram_frac,
+                   floor(((length(text) - length(regexp_replace(text, '#', '', 'g'))
+                           + len(regexp_extract_all(text, '\\.\\.\\.')))
+                          / cast(greatest(len(toks), 1) as double)) * 10000) / 10000 as symbol_word_ratio
+            from g
+        """,
+        "decontam_overlap": f"""
+            with bench as (select text from documents where doc_id % 83 = 0),
+            corp as (select doc_id, text from documents where doc_id % 83 <> 0),
+            bsh as (select distinct unnest({DD.sql_shingles('text', _DECONTAM_K)}) as b_sh from bench),
+            csh as (select doc_id, unnest(list_distinct({DD.sql_shingles('text', _DECONTAM_K)})) as sh from corp)
+            select doc_id, count(*) as n_hits, min(sh) as example_shingle
+            from csh join bsh on sh = b_sh
+            group by doc_id
         """,
         "embed_neardup": f"""
             {_SQL_EMB_CORPUS}

@@ -105,6 +105,52 @@ def lang_id_col(text: Column) -> Column:
     return F.greatest(*scored)["lang"]
 
 
+def _floor_q(x: Column) -> Column:
+    # floor-quantize to 4dp: bit-identical across engines (round-half rules
+    # differ between Spark's BigDecimal and DuckDB's IEEE rounding)
+    return F.floor(x * 10000) / 10000
+
+
+def dup_line_fraction_col(text: Column) -> Column:
+    """Gopher-style repetition rule: fraction of non-empty lines that are
+    duplicates of an earlier line (1 - distinct/total; 0 for empty docs)."""
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        _floor_q(F.lit(1.0) - F.size(F.array_distinct(lines)) / n.cast("double")),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction_col(text: Column, k: int = 2) -> Column:
+    """Duplicate k-gram fraction over whitespace tokens (1 - distinct/total).
+
+    The cheap columnar stand-in for Gopher's "fraction of characters in
+    duplicate n-grams": all array ops, no shuffle, no Python.
+    """
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        _floor_q(F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double")),
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio_col(text: Column) -> Column:
+    """(# of '#' chars + '...' runs) per word — Gopher's symbol-to-word rule."""
+    hashes = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    ellipses = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    return _floor_q((hashes + ellipses) / F.greatest(F.size(tokens_col(text)), F.lit(1)).cast("double"))
+
+
 def fingerprint_col(text: Column) -> Column:
     """Polynomial rolling hash over whitespace tokens mod 2^61-1 (F20-style
     document fingerprint). Exact integer math — oracle-identical.

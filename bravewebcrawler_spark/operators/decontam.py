@@ -1,0 +1,74 @@
+"""Benchmark decontamination: flag corpus documents that share k-gram text
+with an evaluation/benchmark set — the standard pre-training hygiene step
+(the PaLM/GPT-3 papers' "13-gram overlap" rule, here parameterized).
+
+Spark-first shape: the benchmark side is SMALL relative to the corpus (eval
+suites are at most ~10^6 documents → ~10^8 distinct shingle hashes), so its
+distinct shingle-hash set is broadcast and the 100-TB corpus side is a
+map-side explode + broadcast-hash semi-join — the corpus is never shuffled.
+Join keys are the portable 60-bit md5 hash (8 bytes instead of the shingle
+string) with a string-equality confirm on the joined rows, so a hash
+collision can never flag a clean document; the DuckDB oracle reproduces the
+identical hash (functions/text.py portable_hash64 twin).
+
+The reference has no corpus hygiene at all (single-pass crawl,
+brave_processor.py processes each input row once); this operator exists for
+the 100-TB training-data pipeline the engine targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bravewebcrawler_spark.functions.text import portable_hash64
+from bravewebcrawler_spark.operators.dedup import shingles_col
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    c_id: str = "doc_id",
+    c_text: str = "text",
+    b_text: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per contaminated corpus doc: (doc_id, n_hits, example_shingle).
+
+    n_hits counts DISTINCT contaminated k-grams in the document (explode is
+    over the doc's distinct shingle set); example_shingle is the
+    lexicographically-first hit, for audit trails.
+    """
+    bsh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles_col(F.col(b_text), k))).alias("b_sh")
+        )
+        .distinct()
+        .select(portable_hash64(F.col("b_sh")).alias("shh"), "b_sh")
+    )
+    csh = corpus.select(
+        F.col(c_id),
+        F.explode(F.array_distinct(shingles_col(F.col(c_text), k))).alias("sh"),
+    ).withColumn("shh", portable_hash64(F.col("sh")))
+    hits = csh.join(F.broadcast(bsh), "shh").where(F.col("sh") == F.col("b_sh"))
+    return hits.groupBy(c_id).agg(
+        F.count("*").alias("n_hits"), F.min("sh").alias("example_shingle")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    c_id: str = "doc_id",
+    c_text: str = "text",
+    b_text: str = "text",
+    k: int = 5,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Corpus rows surviving decontamination (≤ max_hits contaminated
+    k-grams; 0 = any overlap removes the document). Anti-join shape: the
+    corpus is filtered in place, never shuffled."""
+    flagged = contamination_hits(corpus, benchmark, c_id, c_text, b_text, k).where(
+        F.col("n_hits") > max_hits
+    )
+    return corpus.join(F.broadcast(flagged.select(c_id)), c_id, "left_anti")
