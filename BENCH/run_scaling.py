@@ -112,6 +112,19 @@ def _best(rows: list[dict], key: str) -> dict[int, dict]:
 
 def render() -> None:
     local = _load(LOCAL_JSONL)
+    local_caption = ""
+    if not local:
+        # fall back to the newest archived local draws (pre-round-3 engine)
+        import glob
+
+        arch = sorted(glob.glob(os.path.join(REPO, "BENCH", "reps_local_*.jsonl")))
+        if arch:
+            local = _load(arch[-1])
+            local_caption = (
+                f"\n(draws from `{os.path.basename(arch[-1])}` — the archived "
+                "pre-round-3 engine; run `python BENCH/run_scaling.py` to record "
+                "current-engine local draws)\n"
+            )
     execr = _load(EXEC_JSONL)
     bl = _best(local, "cpus")
     be = _best(execr, "executors")
@@ -123,7 +136,9 @@ def render() -> None:
     # are ~10^8 URLs, so bigger rounds are the faithful amortization of the
     # level-independent per-round fixed costs.
     def cfg(r: dict) -> tuple[float, int]:
-        return (float(r.get("bench_scale", 1)), int(r.get("shuffle_mult", 1)))
+        # shuffle_mult 0 = not recorded in the draw (pre-knob runs); rendered
+        # as "unrecorded" rather than guessed
+        return (float(r.get("bench_scale", 1)), int(r.get("shuffle_mult", 0)))
 
     groups: dict[tuple[float, int], list[dict]] = {}
     for r in execr:
@@ -156,7 +171,7 @@ def render() -> None:
             for e in sorted(be)
         )
         eff_rows = "\n".join(
-            f"| {int(c[0]) if c[0] == int(c[0]) else c[0]}x rounds, shuffle mult {c[1]} | "
+            f"| {int(c[0]) if c[0] == int(c[0]) else c[0]}x rounds, shuffle mult {c[1] if c[1] else 'unrecorded'} | "
             f"{a} -> {b} executors | "
             f"{pairs_by_cfg[c][a]['crawl_urls_per_s']} | "
             f"{pairs_by_cfg[c][b]['crawl_urls_per_s']} | "
@@ -296,7 +311,7 @@ Rendered {datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")} on this 32-
 local[N] vs local[4N] — same job, one JVM whose task-thread count is the
 parallelism level. Reported for comparability; understates a real
 cluster because all task threads share one heap/GC (see headline above).
-
+{local_caption}
 | parallelism | URLs dequeued+deduped | wall (s) | throughput (urls/s) |
 |---|---|---|---|
 {rows}
