@@ -53,6 +53,8 @@ HEADLINE = [
     "s6_entity_lookup",
     "text_fingerprint",
     "text_token_stats",
+    "text_repetition",
+    "decontam_overlap",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
