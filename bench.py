@@ -120,10 +120,23 @@ def bench_crawl(spark) -> dict:
     t0 = time.time()
     res = crawl(spark, web, seeds, policy, state_dir)
     wall = time.time() - t0
+    # Per-round (dequeued, wall) from the committed manifests — read AFTER the
+    # timed region. Round 0 carries the cold start (plan/codegen warmup,
+    # initial-state build, first compaction snapshot); rounds >= 1 are the
+    # steady state a production crawl runs hundreds of, so the renderer also
+    # reports steady-state scaling efficiency from these.
+    from bravewebcrawler_spark.plans import checkpoint as ckpt
+
+    rounds = []
+    last = ckpt.latest_round(res["state_dir"])
+    for r in range((last if last is not None else -1) + 1):
+        m = ckpt.load_metrics(res["state_dir"], r)
+        rounds.append({"round": r, "dequeued": m["dequeued"], "wall_s": round(m["wall_s"], 2)})
     return {
         "crawl_urls": res["total_dequeued"],
         "crawl_wall_s": round(wall, 2),
         "crawl_urls_per_s": round(res["total_dequeued"] / wall, 2),
+        "crawl_rounds": rounds,
         "bench_scale": scale,
         "executors": int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0")),
     }
