@@ -289,11 +289,13 @@ the probe interleaves reps like the crawl bench and reports best-of:
 | 2 | {bw["gbs_2"]} | {bw.get("draws_2", [bw["gbs_2"]])} |
 | 8 | {bw["gbs_8"]} | {bw.get("draws_8", [bw["gbs_8"]])} |
 
-Streaming 2->8 "efficiency" = {bw["eff_2_8"]:.3f} — the bandwidth-bound
-ceiling this host imposes on ANY 4x core scale-up. The crawl's measured
-exec-mode efficiency should be read against this ceiling: the engine's
-own overheads account only for the gap between the two numbers, and on a
-real cluster (memory channels scale with executors) that ceiling is ~1.
+Streaming 2->8 "efficiency" = {bw["eff_2_8"]:.3f} — the ceiling this host
+imposes on the PURELY bandwidth-bound fraction of any 4x core scale-up.
+The crawl's measured exec-mode efficiency should be read against it: the
+crawl exceeding this number means its hot paths are compute-dominated
+(codegen'd expressions, compressed shuffles) rather than stream-bound,
+and on a real cluster (memory channels scale with executors) the ceiling
+term is ~1 anyway.
 """
 
     # --- local-thread secondary table ---
@@ -348,12 +350,17 @@ cluster because all task threads share one heap/GC (see headline above).
 |---|---|
 {pair_rows}
 
-North rule: >= 0.8. This is STRONG scaling (fixed input, growing cluster),
-so efficiency necessarily falls as N grows: the per-run fixed costs (plan
-compile + commit + driver job latency + per-shuffle-stage setup, measured
-~70 s over the 2-round run) are amortized over 400k-800k-URL rounds, where
-a production 100 TB crawl amortizes the same fixed seconds over ~10^8-URL
-rounds.
+North rule: >= 0.8. This is STRONG scaling (fixed input, growing cluster):
+the one-off costs are amortized over a 2-round bench where a production
+100 TB crawl amortizes them over hundreds of rounds. The 4x-round
+(scale-4) exec-mode phase logs (/tmp/exec_pair_r*_s4.log, per-phase
+BWC_DEBUG_TIMING) locate the gap precisely: ROUND 1 — the steady state —
+scales near-perfectly (rep0: jobA fetch 729 -> 156 s = 4.7x, whole round
+1359 -> 347 s = 3.92x = 0.98 efficiency), while ROUND 0 carries the
+cold start (plan/codegen warmup, initial seed-admission build, the first
+compaction snapshot: 1228 -> 511 s = 2.4x). Hence the steady-state table
+above: a production crawl runs hundreds of round-1-shaped rounds per
+round 0.
 
 ## What made it scale (measured, not guessed)
 
@@ -425,6 +432,17 @@ Round 3:
    cluster's actual memory topology. spark.executor.memory must be set
    explicitly in this mode — the master string's third field is only the
    worker's offered memory, and the 1g executor default OOMs the crawl.
+15. Production-sized rounds measured, not extrapolated: the headline runs
+   4x rounds (1.6M seeds / 3.2M cap — 4.7M URLs per run) so the one-off
+   round-0 costs meet a meaningfully large steady state. Per-round walls
+   ride each draw (committed manifest metrics, read after the timed
+   region), giving the steady-state efficiency table its data.
+16. Remaining round-0 targets (phase-log attribution, not yet landed): the
+   seeds parquet is written with 4 files, capping the initial
+   seed-admission scan at 4-way parallelism; and the round-0 compaction
+   snapshot re-derives the seed chain because the initial frontier is
+   never persisted. Both are round-0-only; steady-state rounds are
+   unaffected.
 
 ## 10^10-frontier design math (not simulated in data volume)
 
