@@ -437,12 +437,14 @@ Round 3:
    round-0 costs meet a meaningfully large steady state. Per-round walls
    ride each draw (committed manifest metrics, read after the timed
    region), giving the steady-state efficiency table its data.
-16. Remaining round-0 targets (phase-log attribution, not yet landed): the
-   seeds parquet is written with 4 files, capping the initial
-   seed-admission scan at 4-way parallelism; and the round-0 compaction
-   snapshot re-derives the seed chain because the initial frontier is
-   never persisted. Both are round-0-only; steady-state rounds are
-   unaffected.
+16. Round-0 cold-start fixes (phase-log attribution; landed AFTER the
+   recorded headline draws, so the tables above do not include them): the
+   seeds parquet was written with 4 files, capping the initial
+   seed-admission scan at 4-way parallelism (now 32); and the round-0
+   compaction snapshot re-derived the 1.6M-row seed canonicalize+merge
+   chain because the initial frontier was never persisted (now persisted,
+   released after the round-0 commit). Both are round-0-only; the
+   steady-state rounds the production crawl runs are unaffected.
 
 ## 10^10-frontier design math (not simulated in data volume)
 

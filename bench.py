@@ -107,9 +107,13 @@ def bench_crawl(spark) -> dict:
         os.environ.get("SPARK_GRAFT_STATE_DIR_BASE", tempfile.gettempdir()),
         "bench_seeds.parquet",
     )
+    # 32 files (not 4): the seed scan's split count caps round-0's
+    # seed-admission parallelism — at 4 files an 8-core level ran the
+    # 1.6M-row canon battery on half its cores (phase-log finding, round 3).
+    # Same rows at every level; identical input either way.
     spark.createDataFrame(
         web.seed_urls(int(400000 * scale)), "seed_id string, url string"
-    ).coalesce(4).write.mode("overwrite").parquet(seeds_path)
+    ).repartition(32).write.mode("overwrite").parquet(seeds_path)
     seeds = spark.read.parquet(seeds_path)
     # SPARK_GRAFT_STATE_DIR_BASE=/dev/shm/... for scaling runs: a real
     # N-executor cluster checkpoints to distributed storage whose bandwidth

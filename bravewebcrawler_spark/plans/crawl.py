@@ -95,6 +95,7 @@ def crawl(
     seen_size = 0
     frontier_size = 0
     base_round = 0
+    init_frontier = None  # fresh-start-only persist, released after round 0
     band_hist: dict[int, int] | None = {} if policy.dequeue_band_pruning else None
     last = ckpt.latest_round(state_dir) if resume else None
     if last is not None:
@@ -115,6 +116,17 @@ def crawl(
     else:
         st = initial_state(spark, web, seeds, policy)
         frontier, seen, host_state = st["frontier"], st["seen"], st["host_state"]
+        # Round 0 consumes the initial frontier several times (the dequeue
+        # ranking scan in jobA, then the selected/touched/untouched split in
+        # jobB) — without a persist each consumer re-runs the 1.6M-row seed
+        # canonicalize+merge chain (phase-log finding, round 3). jobA's full
+        # ranking scan warms the cache before jobB's joins read it, so the
+        # in-flight-recompute trap (BENCH item 2) does not apply; released
+        # after round 0 commits.
+        from pyspark.storagelevel import StorageLevel
+
+        frontier = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+        init_frontier = frontier
         bloom = empty_bloom(spark, policy.bloom_buckets)
         # K3: dead-letter rows are kept with their status, never dropped
         st["dead_letter"].write.mode("overwrite").parquet(os.path.join(state_dir, "dead_letter"))
@@ -277,6 +289,9 @@ def crawl(
         ckpt.publish_manifest(state_dir, rnd, metrics, base_round, band_hist=band_hist)
         for df in out["_cached"]:
             df.unpersist()
+        if init_frontier is not None:
+            init_frontier.unpersist()
+            init_frontier = None
         if debug:
             print(f"  round {rnd}: dequeued={dequeued} total={time.time() - t0:6.2f}s", flush=True)
         total_fetched += dequeued
