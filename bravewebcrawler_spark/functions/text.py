@@ -130,13 +130,29 @@ def dup_ngram_fraction_col(text: Column, k: int = 2) -> Column:
     """
     toks = tokens_col(text)
     n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    if k == 2:
+        # Bigram fast path: distinct over (tok[i], tok[i+1]) STRUCTS equals
+        # distinct over the joined "tok[i] tok[i+1]" strings — tokens cannot
+        # contain the separator (they come from splitting on it), so the
+        # join is injective. Two slices + one zip_with instead of a
+        # per-gram slice+concat string build (sf0.1 documents, local[32],
+        # warm: 4.7s -> 1.1s for the full-column collect).
+        grams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    else:
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     total = F.size(grams)
     return F.when(
         total > 0,
