@@ -180,7 +180,7 @@ def render() -> None:
                 if c == head_cfg and (a, b) == head_pair
                 else f"{eff_of(pairs_by_cfg[c], (a, b)):.3f}"
             )
-            + f" | {len({int(r.get('rep', 0)) for r in groups[c]})} |"
+            + f" | {max(sum(1 for r in groups[c] if int(r['executors']) == e) for e in {int(r['executors']) for r in groups[c]})} |"
             for c in sorted(pairs_by_cfg)
             for a, b in exec_pairs(pairs_by_cfg[c])
         )
@@ -251,12 +251,12 @@ stragglers rebalance; a single-wave stage is bounded by its slowest task).
 
 All measured configs and pairs (best-of-reps per level within each config):
 
-| config | pair | N-exec urls/s | 4N-exec urls/s | efficiency | interleaved reps |
+| config | pair | N-exec urls/s | 4N-exec urls/s | efficiency | draws/level |
 |---|---|---|---|---|---|
 {eff_rows}
 
-(A 1-rep config row is a single draw — on this host a single draw can sit
-anywhere in a ~1.5x band; the headline is best-of-3.)
+(A 1-draw config row is a single measurement — on this host a single draw
+can sit anywhere in a ~1.5x band; the headline is best-of-3.)
 {steady_section}
 Per-rep draws for the headline config (interleaved; best per level used above):
 
