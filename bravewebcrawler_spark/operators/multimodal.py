@@ -3,11 +3,20 @@
 The crawl engine's interleaved spans carry ``media_ref`` pointers
 (input_hint payload); a training pipeline materializes those as binary
 columns and runs decode / feature-extract / resize / frame-sample over them.
-The image/audio codecs are NOT in this container, so the decode step is a
-deterministic fake behind ``decode_available()`` — what IS real and tested is
-the Spark-side plumbing: schema, Arrow batch shape, mapInPandas signature,
-and partition behavior, which is exactly what survives a swap-in of a real
-codec (PIL/libav) on a production cluster.
+
+Decode ladder (what each tier honestly does in this container):
+  1. IMAGE HEADERS — real, pure-Python: width/height parsed from the PNG
+     IHDR chunk, JPEG SOFn frame header, or GIF logical screen descriptor
+     (:func:`parse_image_header`). No codec library needed; tested against
+     crafted byte fixtures.
+  2. PIXEL DECODE / feature extraction — needs a real codec (PIL/libav),
+     which is NOT in this container: the 4-dim feature vector is a
+     deterministic digest-derived stand-in (:func:`_fake_decode`), as are
+     width/height for payloads whose bytes are not one of the three parsed
+     image formats.
+What IS fully real and tested either way is the Spark-side plumbing:
+schema, Arrow batch shape, mapInPandas signature, and partition behavior —
+exactly what survives a swap-in of a full codec on a production cluster.
 """
 
 from __future__ import annotations
@@ -42,7 +51,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_available() -> bool:
-    """True when a real image codec is importable (never in this sandbox)."""
+    """True — image *header* decode (width/height) is pure Python and always
+    available; see :func:`parse_image_header`. Full pixel decode still needs
+    a codec library (:func:`codec_available`)."""
+    return True
+
+
+def codec_available() -> bool:
+    """True when a real pixel codec is importable (never in this sandbox)."""
     try:
         import PIL  # noqa: F401
 
@@ -51,18 +67,88 @@ def decode_available() -> bool:
         return False
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for image decode + 4-dim feature extraction.
+def parse_image_header(payload: bytes | None) -> tuple[int, int] | None:
+    """(width, height) from the image container header, or None.
 
-    A real implementation decodes ``payload``; the fake derives (width,
-    height, feature) from its digest so tests are stable and the Arrow
-    plumbing (binary in, struct+array out) is exercised for real.
+    Pure-Python header parsing — no codec library:
+      PNG  — 8-byte magic, then the IHDR chunk: width/height are the two
+             big-endian uint32s at offsets 16/20 (PNG spec §5.2, §11.2.2).
+      GIF  — 'GIF87a'/'GIF89a', logical screen descriptor: width/height are
+             little-endian uint16s at offsets 6/8 (GIF89a spec §18).
+      JPEG — SOI then marker segments; the SOFn frame header (C0-CF except
+             the non-frame C4/C8/CC) carries precision(1) height(2) width(2)
+             big-endian after the 2-byte segment length (ITU T.81 §B.2.2).
+    Returns None for anything else (truncated, non-image, or a format this
+    parser does not cover) — callers fall back to :func:`_fake_decode`.
+    """
+    if payload is None or len(payload) < 10:
+        return None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        n = len(b)
+        while i + 1 < n:
+            if b[i] != 0xFF:  # not at a marker — corrupt stream
+                return None
+            while i + 1 < n and b[i + 1] == 0xFF:  # fill bytes
+                i += 1
+            if i + 1 >= n:
+                return None
+            marker = b[i + 1]
+            i += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers: no length field
+            if marker == 0xD9:  # EOI before any SOFn
+                return None
+            if i + 2 > n:
+                return None
+            seg_len = int.from_bytes(b[i : i + 2], "big")
+            if seg_len < 2 or i + seg_len > n:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if seg_len < 7:
+                    return None
+                height = int.from_bytes(b[i + 3 : i + 5], "big")
+                width = int.from_bytes(b[i + 5 : i + 7], "big")
+                return width, height
+            i += seg_len
+        return None
+    return None
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for pixel decode + 4-dim feature extraction.
+
+    A real implementation decodes ``payload`` with a codec; the fake derives
+    (width, height, feature) from its digest so tests are stable and the
+    Arrow plumbing (binary in, struct+array out) is exercised for real.
     """
     d = hashlib.md5(payload).digest()
     width = 64 + d[0] % 192
     height = 64 + d[1] % 192
     feature = [round(b / 255.0, 6) for b in d[2:6]]
     return width, height, feature
+
+
+def _decode(payload: bytes | None) -> tuple[int | None, int | None, list[float] | None]:
+    """Header-first decode: real container width/height when the bytes are a
+    parseable PNG/JPEG/GIF, digest-derived otherwise; the feature vector is
+    always the deterministic stand-in until a pixel codec exists
+    (:func:`codec_available`)."""
+    if payload is None:
+        return None, None, None
+    payload = bytes(payload)
+    hdr = parse_image_header(payload)
+    w, h, feature = _fake_decode(payload)
+    if hdr is not None:
+        w, h = hdr
+    return w, h, feature
 
 
 def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -74,10 +160,8 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decode_available():  # pragma: no cover - not in sandbox
-            raise NotImplementedError("real codec path: decode payload with PIL")
         for pdf in batches:
-            decoded = pdf["payload"].map(lambda p: _fake_decode(bytes(p)) if p is not None else (None, None, None))
+            decoded = pdf["payload"].map(_decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
