@@ -324,6 +324,125 @@ def simhash_near_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def _scratch_ckpt(spark, prefix: str):
+    """Per-round lineage truncation for iterative graph loops: write the
+    round's state to scratch parquet and read it back (the engine's
+    plans/checkpoint.py pattern). Both CC round bodies reference their input
+    several times, so without truncation the Catalyst plan grows
+    exponentially in rounds (measured: driver GC OOM during plan
+    canonicalization by round ~10). At cluster scale the scratch dir must be
+    distributed storage — defaults to $SPARK_GRAFT_STATE_DIR_BASE (the same
+    knob the crawl state uses), falling back to local tmp.
+
+    Returns (work_dir, ckpt(df, k) -> DataFrame, cleanup()).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_STATE_DIR_BASE") or None
+    work = tempfile.mkdtemp(prefix=prefix, dir=base)
+
+    def ckpt(df: DataFrame, k: int) -> DataFrame:
+        path = os.path.join(work, f"state-{k:04d}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return work, ckpt, (lambda: shutil.rmtree(work, ignore_errors=True))
+
+
+def _star_contraction_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    src: str,
+    dst: str,
+    max_iters: int,
+    cache_registry: list | None,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-topology variant of :func:`connected_components`.
+
+    Each round rewires the edge set toward a star forest centered at each
+    component's minimum node:
+      large-star(u): every neighbor v > u is connected to min(Γ(u) ∪ {u})
+      small-star(u): every neighbor v < u, and u itself, are connected to
+                     min of the smaller neighborhood
+    Connectivity is preserved by both operations and the edge set converges
+    to stars in O(log^2 n) rounds (O(log n) in practice for the alternating
+    two-phase) — bounded by the LOGARITHM of the longest path, where
+    min-label propagation needs O(diameter) rounds. Convergence is exact
+    set equality of the oriented edge list (count match + empty exceptAll —
+    no fingerprint collisions). Shuffles stay on node ids; per-round work is
+    two groupBy-min passes + two equi-joins over the current edge set.
+
+    Each round's edge set is checkpointed to scratch parquet and read back
+    (:func:`_scratch_ckpt`) — lineage truncation, without which the round
+    body's ~5 references to its input grow the Catalyst plan exponentially.
+    """
+    from pyspark import StorageLevel
+
+    work, ckpt, cleanup = _scratch_ckpt(edges.sparkSession, "bwc-star-")
+
+    # normalize: oriented (big u, small v), no self-loops, distinct
+    cur = ckpt(
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct(),
+        0,
+    )
+    cur_n = cur.count()  # parquet metadata count — no scan
+    rounds = 0
+    for _ in range(max_iters):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: per node u, m = min(neighbors ∪ {u}); connect v>u to m
+        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (big → small) orientation: per node u,
+        # m = min smaller neighbor; connect every smaller neighbor and u to m
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(smin, "u")
+        rounds += 1
+        new = ckpt(
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct(),
+            rounds,
+        )
+        new_n = new.count()
+        # exact set-equality convergence (both sides distinct + oriented)
+        if new_n == cur_n and new.exceptAll(cur).count() == 0:
+            break
+        cur, cur_n = new, new_n
+    if stats is not None:
+        stats["rounds"] = rounds
+    # stars point every non-center node at its component min; centers and
+    # isolated nodes map to themselves
+    labels = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    out = (
+        nodes.select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()  # materialize before deleting the scratch edge checkpoints
+    cleanup()
+    if cache_registry is not None:
+        cache_registry.append(out)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -332,6 +451,8 @@ def connected_components(
     dst: str = "id_b",
     max_iters: int = 50,
     cache_registry: list | None = None,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over an undirected
     near-dup pair list — ``(node, component)`` with component = the minimum
@@ -350,50 +471,74 @@ def connected_components(
     (sum of labels — each label is nonincreasing and a round that changes
     nothing changes no label, so an unchanged sum IS the fixpoint; summed as
     decimal(38,0) so 10^10 nodes cannot overflow). No all-pairs anything:
-    at 10^10 edges each round shuffles on node ids only. For graphs with
-    adversarially long chains swap the round body for large-star/small-star
-    contraction (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") behind the same signature; for the dedup-cluster topology the
-    simple propagation does fewer shuffles per round.
+    at 10^10 edges each round shuffles on node ids only.
 
-    Each round's labels are persisted and the previous round's released
-    explicitly (deterministic lifecycle); pass ``cache_registry`` to take
-    ownership of releasing the FINAL result's persist, else the caller
-    should unpersist it (or materialize-and-release) after consumption.
+    ``algorithm`` selects the round body:
+      "label" (default) — min-label propagation above: fewest shuffles per
+          round, O(diameter) rounds. The right pick for dedup-cluster
+          topology (band collisions make near-cliques, diameter 1-3).
+      "star" — alternating large-star/small-star contraction
+          (:func:`_star_contraction_components`): O(log n)-ish rounds
+          regardless of diameter — the fallback for adversarially long
+          chains where O(diameter) propagation would not terminate in any
+          reasonable round budget. Both variants agree exactly
+          (tests/test_components.py proves it on clique+chain graphs).
+    ``stats`` (optional dict) receives {"rounds": k} for either variant.
+
+    Each round's state is checkpointed to scratch parquet and read back
+    (:func:`_scratch_ckpt` — lineage truncation; scratch files are deleted
+    before returning). The FINAL result is persisted and materialized; pass
+    ``cache_registry`` to take ownership of releasing that persist, else the
+    caller should unpersist it (or materialize-and-release) after
+    consumption.
     """
     from pyspark import StorageLevel
 
+    if algorithm == "star":
+        return _star_contraction_components(
+            edges, nodes, id_col, src, dst, max_iters, cache_registry, stats
+        )
+    assert algorithm == "label", f"unknown algorithm: {algorithm}"
     und = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .union(edges.select(F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cur = (
+    # per-round scratch checkpoint: the round body references `cur` twice,
+    # so without lineage truncation the plan doubles per round (driver OOM
+    # on long chains — see _scratch_ckpt)
+    work, ckpt, cleanup = _scratch_ckpt(edges.sparkSession, "bwc-cc-")
+    cur = ckpt(
         nodes.select(F.col(id_col).cast("long").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("node", F.col("node").alias("comp")),
+        0,
     )
     ssum = F.sum(F.col("comp").cast("decimal(38,0)"))
     cur_sum = cur.agg(ssum).collect()[0][0]
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         prop = und.join(cur, und["u"] == cur["node"]).select(
             F.col("v").alias("node"), F.col("comp")
         )
-        new = (
+        new = ckpt(
             cur.select("node", "comp")
             .union(prop)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .agg(F.min("comp").alias("comp")),
+            rounds,
         )
         new_sum = new.agg(ssum).collect()[0][0]
         if new_sum == cur_sum:
-            new.unpersist()
             break
-        cur.unpersist()
         cur, cur_sum = new, new_sum
     und.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    out = cur.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()  # materialize before deleting the scratch label checkpoints
+    cleanup()
     if cache_registry is not None:
-        cache_registry.append(cur)
-    return cur
+        cache_registry.append(out)
+    return out
