@@ -9,6 +9,7 @@ order-insensitive value-hash matches.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -429,17 +430,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(corpus, "doc_id", "text", k=3)
 
 
-def _materialize_and_release(df: DataFrame, caches: list) -> DataFrame:
+_MATERIALIZE_ROW_CAP = 1_000_000  # above this, results stage through parquet
+
+
+def _materialize_and_release(df: DataFrame, caches: list, row_cap: int = 0) -> DataFrame:
     """Deterministic cache lifecycle for queries whose intermediates must be
     persisted but whose RESULT is small (thresholded pair lists, per-language
     aggregates): run the plan once while the caches are hot, unpersist them
     immediately, and return the materialized rows as a local DataFrame. No
     ContextCleaner reliance — executor storage is empty the moment the query
-    function returns (pytest-asserted in test_queries_vs_duckdb)."""
-    rows = df.collect()
+    function returns (pytest-asserted in test_queries_vs_duckdb).
+
+    SIZE-GUARDED: the driver collect is probed with limit(cap+1) — one pass,
+    no extra count job — and a result above ``row_cap`` rows (default
+    _MATERIALIZE_ROW_CAP) is instead written to scratch parquet while the
+    caches are hot and read back, so an unexpectedly large result (e.g. a
+    full (doc_id, component) table at production scale) can never OOM the
+    driver. The scratch files live for the session (the returned plan reads
+    them lazily); a 100-TB pipeline would give this a real output table."""
+    cap = row_cap or _MATERIALIZE_ROW_CAP
+    rows = df.limit(cap + 1).collect()
+    if len(rows) <= cap:
+        for c in caches:
+            c.unpersist()
+        return df.sparkSession.createDataFrame(rows, df.schema)
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_STATE_DIR_BASE") or None
+    path = os.path.join(tempfile.mkdtemp(prefix="bwc-result-", dir=base), "rows")
+    df.write.mode("overwrite").parquet(path)
     for c in caches:
         c.unpersist()
-    return df.sparkSession.createDataFrame(rows, df.schema)
+    return df.sparkSession.read.parquet(path)
 
 
 def dedup_lsh_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,6 +572,32 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.lang_score_col(F.col("text"), "en").cast("long").alias("s_en"),
         TX.lang_score_col(F.col("text"), "de").cast("long").alias("s_de"),
         TX.lang_score_col(F.col("text"), "fr").cast("long").alias("s_fr"),
+    )
+
+
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis battery: language-ID scores + guess,
+    quality score, token stats, and the Gopher repetition rules in ONE
+    map-only scan. Consolidates the formerly-separate text_lang_id /
+    text_quality / text_token_stats / text_repetition driver rows so the
+    registry fits the driver's 50-row correctness report (VERDICT r3 #3)
+    with every metric still value-checked — and it is the more
+    production-faithful shape anyway: a 100-TB quality pass computes all
+    per-doc metrics in one scan of the corpus, not four."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.lang_id_col(F.col("text")).alias("lang_guess"),
+        TX.lang_score_col(F.col("text"), "en").cast("long").alias("s_en"),
+        TX.lang_score_col(F.col("text"), "de").cast("long").alias("s_de"),
+        TX.lang_score_col(F.col("text"), "fr").cast("long").alias("s_fr"),
+        TX.quality_score_col(F.col("text")).alias("quality"),
+        TX.ws_token_count_col(F.col("text")).cast("long").alias("ws_tokens"),
+        TX.bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe_tokens"),
+        F.round(TX.stopword_ratio_col(F.col("text")), 4).alias("stopword_ratio"),
+        TX.dup_line_fraction_col(F.col("text")).alias("dup_line_frac"),
+        TX.dup_ngram_fraction_col(F.col("text"), 2).alias("dup_2gram_frac"),
+        TX.symbol_word_ratio_col(F.col("text")).alias("symbol_word_ratio"),
     )
 
 
@@ -923,6 +971,53 @@ def f12_digit_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 digit extraction + F14 current-year fallback + F15 JSON-decode
+    taxonomy as ONE driver row: the three r03 queries run unchanged and are
+    normalized to a (src, key, n, s, x) shape for the union. Consolidated so
+    the registry fits the driver's 50-row correctness report (VERDICT r3 #3)
+    with all three operators still value-checked."""
+    f12 = f12_digit_extraction(spark, sf_dir).select(
+        F.lit("f12").alias("src"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("choice").cast("long").alias("n"),
+        F.col("valid").cast("string").alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    f14 = f14_current_year(spark, sf_dir).select(
+        F.lit("f14").alias("src"),
+        F.col("p_brand").alias("key"),
+        F.col("n_reports").cast("long").alias("n"),
+        F.col("year_used").alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    f15 = f15_json_decode(spark, sf_dir).select(
+        F.lit("f15").alias("src"),
+        F.col("status").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("avg_k").alias("x"),
+    )
+    return f12.unionByName(f14).unionByName(f15)
+
+
+def a1_o3_coalesce_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 first-non-null merge (operators/merge.py coalesce_merge) joined
+    with the O3 source cascade + provenance on the claim key, plus a
+    cross-implementation agreement bit (the two paths must produce the same
+    best price). One driver row value-checking both operators AND their
+    mutual consistency. Consolidated from a1_coalesce_merge +
+    o3_source_cascade (VERDICT r3 #3)."""
+    a1 = a1_coalesce_merge(spark, sf_dir)
+    o3 = o3_source_cascade(spark, sf_dir).withColumnRenamed("best_price", "bp_cascade")
+    return a1.join(o3, "custkey", "full").select(
+        "custkey",
+        "best_price",
+        "source_of_price",
+        (F.col("best_price") == F.col("bp_cascade")).alias("paths_agree"),
+    )
+
+
 # shared SQL fragments for the vector oracles (exact sequential folds so
 # DuckDB's doubles are bit-identical to Spark's)
 _SQL_DOT = (
@@ -1052,7 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facts_per_seed": facts_per_seed,
         "facts_reference_csv": facts_reference_csv,
         "a2_missing_counts": a2_missing_counts,
-        "a1_coalesce_merge": a1_coalesce_merge,
+        "a1_o3_coalesce_cascade": a1_o3_coalesce_cascade,
         "f16_json_props": f16_json_props,
         "j2_anti_join": j2_anti_join,
         "a7_per_key_topk": a7_per_key_topk,
@@ -1076,10 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "embed_neardup_lsh": embed_neardup_lsh,
         "text_fingerprint": text_fingerprint,
-        "text_lang_id": text_lang_id,
-        "text_quality": text_quality,
-        "text_token_stats": text_token_stats,
-        "text_repetition": text_repetition,
+        "text_metrics": text_metrics,
         "decontam_overlap": decontam_overlap,
         "embed_neardup": embed_neardup,
         "ann_brute_topk": ann_brute_topk,
@@ -1091,11 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_user_stats": stream_stateful_user_stats,
         "p6_relevance_precheck": p6_relevance_precheck,
         "p3_host_match": p3_host_match,
-        "o3_source_cascade": o3_source_cascade,
-        "f12_digit_extraction": f12_digit_extraction,
+        "f_scalar_battery": f_scalar_battery,
         "s6_entity_lookup": s6_entity_lookup,
-        "f14_current_year": f14_current_year,
-        "f15_json_decode": f15_json_decode,
         "metrics_cube": metrics_cube,
     }
 
@@ -1791,6 +1880,42 @@ def oracle_sql() -> dict[str, str]:
     # result translated to the exact reference column order with the 'null'
     # string sentinel — derived from its oracle so the merge rule is stated
     # exactly once.
+    # Consolidated driver rows (VERDICT r3 #3 — fit the 50-row report): each
+    # sub-oracle is the r03-proven SQL body, reused verbatim as a CTE.
+    sql["text_metrics"] = f"""
+        with m1 as ({sql.pop("text_lang_id")}),
+             m2 as ({sql.pop("text_quality")}),
+             m3 as ({sql.pop("text_token_stats")}),
+             m4 as ({sql.pop("text_repetition")})
+        select doc_id, lang_guess, s_en, s_de, s_fr, quality,
+               ws_tokens, bpe_tokens, stopword_ratio,
+               dup_line_frac, dup_2gram_frac, symbol_word_ratio
+        from m1 join m2 using (doc_id) join m3 using (doc_id) join m4 using (doc_id)
+    """
+    sql["f_scalar_battery"] = f"""
+        with f12 as ({sql.pop("f12_digit_extraction")}),
+             f14 as ({sql.pop("f14_current_year")}),
+             f15 as ({sql.pop("f15_json_decode")})
+        select 'f12' as src, cast(doc_id as varchar) as key,
+               cast(choice as bigint) as n, cast(valid as varchar) as s,
+               cast(null as double) as x
+        from f12
+        union all
+        select 'f14', p_brand, cast(n_reports as bigint), year_used,
+               cast(null as double)
+        from f14
+        union all
+        select 'f15', status, cast(n as bigint), cast(null as varchar), avg_k
+        from f15
+    """
+    sql["a1_o3_coalesce_cascade"] = f"""
+        with a1 as ({sql.pop("a1_coalesce_merge")}),
+             o3 as (select custkey, best_price as bp_cascade, source_of_price
+                    from ({sql.pop("o3_source_cascade")}))
+        select custkey, a1.best_price, o3.source_of_price,
+               (a1.best_price = o3.bp_cascade) as paths_agree
+        from a1 full join o3 using (custkey)
+    """
     sql["facts_reference_csv"] = f"""
         with fps as ({sql["facts_per_seed"]})
         select seed_id as company_number,

@@ -56,3 +56,26 @@ def test_no_residual_caches_after_cache_managed_queries(spark, sf_dir):
         E.queries()[name](spark, sf_dir).count()
     leaked = storage_ids() - before
     assert not leaked, f"residual cached RDDs: {leaked}"
+
+
+def test_materialize_and_release_size_guard(spark):
+    """Oversized results must stage through parquet, never a driver collect
+    (VERDICT r3 #6): same rows back, caches released either way."""
+    from pyspark import StorageLevel
+
+    import __spark_entry__ as E
+
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    cache = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cache.count()
+    out = E._materialize_and_release(df, [cache], row_cap=10)  # 100 > cap
+    assert out.count() == 100
+    assert {r["id"]: r["v"] for r in out.collect()} == {i: 2 * i for i in range(100)}
+    assert "Scan parquet" in out._jdf.queryExecution().executedPlan().toString()
+    jsc = spark.sparkContext._jsc.sc()
+    assert not any("range" in (i.name() or "") for i in jsc.getRDDStorageInfo())
+    # small result: plain local-relation path, no parquet scan
+    small = spark.range(5).selectExpr("id")
+    out2 = E._materialize_and_release(small, [], row_cap=10)
+    assert out2.count() == 5
+    assert "Scan parquet" not in out2._jdf.queryExecution().executedPlan().toString()
