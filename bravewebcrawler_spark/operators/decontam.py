@@ -66,9 +66,16 @@ def decontaminate(
     max_hits: int = 0,
 ) -> DataFrame:
     """Corpus rows surviving decontamination (≤ max_hits contaminated
-    k-grams; 0 = any overlap removes the document). Anti-join shape: the
-    corpus is filtered in place, never shuffled."""
+    k-grams; 0 = any overlap removes the document). Anti-join shape.
+
+    The flagged-id side is NOT force-broadcast: while eval suites are small,
+    the set of contaminated CORPUS doc ids is corpus-sized in the worst case
+    (10^8 flagged ids is hundreds of MB — past broadcast/driver limits), so
+    the join strategy is left to the optimizer/AQE, which broadcasts when
+    the runtime size is actually small and falls back to a shuffled
+    anti-join when it is not. Only the benchmark shingle set (bounded by the
+    eval suite) is force-broadcast, in :func:`contamination_hits`."""
     flagged = contamination_hits(corpus, benchmark, c_id, c_text, b_text, k).where(
         F.col("n_hits") > max_hits
     )
-    return corpus.join(F.broadcast(flagged.select(c_id)), c_id, "left_anti")
+    return corpus.join(flagged.select(c_id), c_id, "left_anti")
