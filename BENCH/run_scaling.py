@@ -158,11 +158,21 @@ def render() -> None:
             a, b = pair
             return bb[b]["crawl_urls_per_s"] / (4 * bb[a]["crawl_urls_per_s"])
 
-        def best_eff(c: tuple[float, int]) -> float:
-            bb = pairs_by_cfg[c]
-            return max(eff_of(bb, p) for p in exec_pairs(bb))
+        def draws_per_level(c: tuple[float, int]) -> dict[int, int]:
+            counts: dict[int, int] = {}
+            for r in groups[c]:
+                e = int(r["executors"])
+                counts[e] = counts.get(e, 0) + 1
+            return counts
 
-        head_cfg = max(pairs_by_cfg, key=lambda c: (c[0], best_eff(c)))
+        # Headline config: largest round size first (production rounds are
+        # ~10^8 URLs), then the config with the MOST draws at its thinnest
+        # level (best-measured), then shuffle_mult — NEVER the efficiency
+        # value itself, which would bake selection bias into the headline.
+        head_cfg = max(
+            pairs_by_cfg,
+            key=lambda c: (c[0], min(draws_per_level(c).values()), c[1]),
+        )
         be = pairs_by_cfg[head_cfg]
         head_pair = max(exec_pairs(be), key=lambda p: eff_of(be, p))
         exec_rows = "\n".join(
@@ -180,7 +190,9 @@ def render() -> None:
                 if c == head_cfg and (a, b) == head_pair
                 else f"{eff_of(pairs_by_cfg[c], (a, b)):.3f}"
             )
-            + f" | {max(sum(1 for r in groups[c] if int(r['executors']) == e) for e in {int(r['executors']) for r in groups[c]})} |"
+            + " | " + "/".join(
+                str(n) for _, n in sorted(draws_per_level(c).items())
+            ) + " |"
             for c in sorted(pairs_by_cfg)
             for a, b in exec_pairs(pairs_by_cfg[c])
         )
@@ -215,11 +227,15 @@ crawl amortizes over hundreds of rounds):
         hdr_reps = sorted(
             {(int(r.get("rep", 0))) for r in groups[head_cfg]}
         )
+        # ALL draws per (rep, level) — rep ids have been reused across
+        # separate invocations, so a cell can hold several draws; rendering
+        # only the first would silently drop measurements.
         exec_rep_rows = "\n".join(
             "| " + str(i) + " | "
             + " | ".join(
-                next((str(r["crawl_urls_per_s"]) for r in groups[head_cfg]
-                      if int(r.get("rep", -1)) == i and int(r["executors"]) == e), "—")
+                (", ".join(str(r["crawl_urls_per_s"]) for r in groups[head_cfg]
+                           if int(r.get("rep", -1)) == i and int(r["executors"]) == e)
+                 or "—")
                 for e in sorted(be)
             )
             + " |"
@@ -251,7 +267,7 @@ stragglers rebalance; a single-wave stage is bounded by its slowest task).
 
 All measured configs and pairs (best-of-reps per level within each config):
 
-| config | pair | N-exec urls/s | 4N-exec urls/s | efficiency | draws/level |
+| config | pair | N-exec urls/s | 4N-exec urls/s | efficiency | draws per level (asc) |
 |---|---|---|---|---|---|
 {eff_rows}
 
