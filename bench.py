@@ -52,8 +52,7 @@ HEADLINE = [
     "embed_neardup_lsh",
     "s6_entity_lookup",
     "text_fingerprint",
-    "text_token_stats",
-    "text_repetition",
+    "text_metrics",
     "decontam_overlap",
     "ann_brute_topk",
     "ann_lsh_topk",
@@ -177,9 +176,22 @@ def main() -> None:
     # warm the JVM/codegen once so per-query timings measure the plan, not startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Timing hygiene (VERDICT r3 #1): without a cache flush + GC breath
+    # between queries, heap/GC residue from a heavy neighbor bleeds into the
+    # next timing — measured 4-6x in BOTH directions (ann_lsh_topk 11.2s
+    # in-suite vs 2.66s isolated; ann_brute 1.19 vs 7.25). Each query now
+    # starts from an empty storage tab and a freshly-GC'd heap, so the
+    # per-query column matches isolated runs (tools/bench_isolated.py
+    # publishes the isolated column to compare against).
+    import gc
+
     timings: dict[str, float] = {}
     for name in [] if crawl_only else HEADLINE:
         fn = qs[name]
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
         t0 = time.time()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
