@@ -22,7 +22,18 @@ MULT="${SPARK_GRAFT_SHUFFLE_MULT:-4}"
 # 2 executors (4 cores) vs 8 executors (16 cores) — same 4x rule, smaller
 # relative driver-core allowance than the default 1-vs-4 pair.
 LEVELS="${SPARK_GRAFT_EXEC_LEVELS:-1 4}"
-for rep in $(seq 0 $((REPS - 1))); do
+# Offset rep ids past any already recorded (like run_scaling.py local mode)
+# so draws from separate invocations never share a rep id.
+REP0=$(python - <<'EOF'
+import json
+try:
+    reps = [int(json.loads(l).get("rep", 0)) for l in open("BENCH/reps_exec.jsonl") if l.strip()]
+    print(max(reps) + 1 if reps else 0)
+except FileNotFoundError:
+    print(0)
+EOF
+)
+for rep in $(seq "$REP0" $((REP0 + REPS - 1))); do
   for ex in $LEVELS; do
     cores=$((ex * 2 + 2))
     rm -rf /dev/shm/bwc-state; mkdir -p /dev/shm/bwc-state /dev/shm/spark-tmp

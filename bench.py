@@ -185,8 +185,14 @@ def main() -> None:
     # publishes the isolated column to compare against).
     import gc
 
+    # SPARK_GRAFT_QUERIES="a,b" restricts the suite — tools/bench_isolated.py
+    # uses it to time each query in its own fresh JVM (the isolated column
+    # the in-suite numbers are validated against).
+    only = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    names = [] if crawl_only else ([q for q in only.split(",") if q] or HEADLINE)
+
     timings: dict[str, float] = {}
-    for name in [] if crawl_only else HEADLINE:
+    for name in names:
         fn = qs[name]
         spark.catalog.clearCache()
         gc.collect()

@@ -65,6 +65,8 @@ def test_materialize_and_release_size_guard(spark):
 
     import __spark_entry__ as E
 
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
     df = spark.range(100).selectExpr("id", "id * 2 as v")
     cache = df.persist(StorageLevel.MEMORY_AND_DISK)
     cache.count()
@@ -72,8 +74,8 @@ def test_materialize_and_release_size_guard(spark):
     assert out.count() == 100
     assert {r["id"]: r["v"] for r in out.collect()} == {i: 2 * i for i in range(100)}
     assert "Scan parquet" in out._jdf.queryExecution().executedPlan().toString()
-    jsc = spark.sparkContext._jsc.sc()
-    assert not any("range" in (i.name() or "") for i in jsc.getRDDStorageInfo())
+    leaked = {info.id() for info in jsc.getRDDStorageInfo()} - before
+    assert not leaked, f"residual cached RDDs: {leaked}"
     # small result: plain local-relation path, no parquet scan
     small = spark.range(5).selectExpr("id")
     out2 = E._materialize_and_release(small, [], row_cap=10)
