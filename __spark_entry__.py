@@ -427,7 +427,9 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
-    return DD.minhash_lsh_pairs(corpus, "doc_id", "text", k=3)
+    caches: list = []
+    pairs = DD.minhash_lsh_pairs(corpus, "doc_id", "text", k=3, cache_registry=caches)
+    return _materialize_and_release(pairs, caches)
 
 
 _MATERIALIZE_ROW_CAP = 1_000_000  # above this, results stage through parquet
@@ -513,7 +515,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-Hamming simhash refinement: band equi-join candidates, exact
     bit_count(xor) <= 2 check on candidates only (pigeonhole-complete)."""
     corpus = _neardup_corpus(spark, sf_dir)
-    return DD.simhash_near_pairs(corpus, "doc_id", "text", bits=16, bands=4, max_hamming=2)
+    caches: list = []
+    pairs = DD.simhash_near_pairs(
+        corpus, "doc_id", "text", bits=16, bands=4, max_hamming=2, cache_registry=caches
+    )
+    return _materialize_and_release(pairs, caches)
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

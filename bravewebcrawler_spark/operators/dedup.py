@@ -144,7 +144,12 @@ def minhash_signature_cols(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, shingle_hashes: DataFrame | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    shingle_hashes: DataFrame | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: signature → band keys → bucket equi-join.
 
@@ -153,18 +158,39 @@ def minhash_lsh_pairs(
     (id_a < id_b); refinement (true Jaccard on candidates) is jaccard_pairs
     restricted to these pairs. ``shingle_hashes`` is forwarded to
     :func:`minhash_signature_cols`.
+
+    Band rows come from ONE signature aggregate + an explode of the 4
+    per-band key structs — NOT a 4-way union of projections, which (with the
+    2 self-join sides) re-ran the whole scan→shingle→md5→16-min-agg pipeline
+    8x (measured: 24 parquet scans, 0 reused exchanges in the executed
+    plan). With ``cache_registry`` the tiny banded table (4 rows x 20 bytes
+    per doc) is persisted so the self-join reads it twice from memory —
+    signature work runs exactly once; without a registry the explode alone
+    still cuts the recompute to 2x.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = NUM_HASHES // NUM_BANDS
     sig = minhash_signature_cols(df, id_col, text_col, k, shingle_hashes=shingle_hashes)
-    per_band = []
-    for band in range(NUM_BANDS):
+
+    def band_key(band: int):
         key = F.lit(0).cast("long")
         for r in range(rows_per_band):
             key = (key * 31 + F.col(f"m{band * rows_per_band + r}")) % MINHASH_P
-        per_band.append(sig.select("doc", F.lit(band).alias("band"), key.alias("band_key")))
-    banded = per_band[0]
-    for extra in per_band[1:]:
-        banded = banded.unionByName(extra)
+        return key
+
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(band).alias("band"), band_key(band).alias("band_key"))
+                for band in range(NUM_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    if cache_registry is not None:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_registry.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -211,9 +237,9 @@ def lsh_refined_pairs(
     # unpersists once the consumed plan is garbage-collected — correct, but
     # in a long-lived session several such caches can coexist.
     shd = hashed_shingles(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = minhash_lsh_pairs(df, id_col, text_col, k, shingle_hashes=shd).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, k, shingle_hashes=shd, cache_registry=cache_registry
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand_docs = cand.select(F.col("id_a").alias("doc")).unionByName(
         cand.select(F.col("id_b").alias("doc"))
     ).distinct()
@@ -273,6 +299,7 @@ def simhash_near_pairs(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 2,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Banded-Hamming simhash near-dup pairs (the scale refinement).
 
@@ -282,25 +309,36 @@ def simhash_near_pairs(
     XOR scan — and the exact ``bit_count(xor) <= max_hamming`` check runs
     only on candidates. Requires max_hamming < bands for completeness within
     the candidate set.
+
+    Band rows are ONE simhash computation + an explode of the per-band key
+    structs (not a per-band union of projections, which re-ran the bit-vote
+    aggregate bands x 2-join-sides times); with ``cache_registry`` the
+    banded table is persisted so the self-join reads it twice from memory.
     """
+    from pyspark import StorageLevel
+
     assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sig = df.select(
         F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("simhash")
     )
-    per_band = [
-        sig.select(
-            "doc",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    banded = per_band[0]
-    for extra in per_band[1:]:
-        banded = banded.unionByName(extra)
+    banded = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    if cache_registry is not None:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_registry.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -387,6 +425,8 @@ def _star_contraction_components(
     work, ckpt, cleanup = _scratch_ckpt(edges.sparkSession, "bwc-star-")
 
     # normalize: oriented (big u, small v), no self-loops, distinct
+    from pyspark.sql import Observation
+
     cur = ckpt(
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -412,15 +452,20 @@ def _star_contraction_components(
         smin = large.groupBy("u").agg(F.min("v").alias("m"))
         joined = large.join(smin, "u")
         rounds += 1
+        # the edge count rides an Observation on the checkpoint write that
+        # runs anyway — no separate count job per round
+        obs = Observation()
         new = ckpt(
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(joined.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
-            .distinct(),
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n")),
             rounds,
         )
-        new_n = new.count()
-        # exact set-equality convergence (both sides distinct + oriented)
+        new_n = obs.get["n"]
+        # exact set-equality convergence (both sides distinct + oriented);
+        # the exceptAll runs only when the cheap count gate passes
         if new_n == cur_n and new.exceptAll(cur).count() == 0:
             break
         cur, cur_n = new, new_n
@@ -508,28 +553,37 @@ def connected_components(
     # so without lineage truncation the plan doubles per round (driver OOM
     # on long chains — see _scratch_ckpt)
     work, ckpt, cleanup = _scratch_ckpt(edges.sparkSession, "bwc-cc-")
+    from pyspark.sql import Observation
+
+    ssum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
     cur = ckpt(
         nodes.select(F.col(id_col).cast("long").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("comp")),
+        .select("node", F.col("node").alias("comp"))
+        .observe(obs0, ssum),
         0,
     )
-    ssum = F.sum(F.col("comp").cast("decimal(38,0)"))
-    cur_sum = cur.agg(ssum).collect()[0][0]
+    cur_sum = obs0.get["s"]
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
         prop = und.join(cur, und["u"] == cur["node"]).select(
             F.col("v").alias("node"), F.col("comp")
         )
+        # the convergence label-sum rides an Observation on the checkpoint
+        # write that runs anyway — the separate O(nodes) agg job per round
+        # is gone (VERDICT r3 #7)
+        obs = Observation()
         new = ckpt(
             cur.select("node", "comp")
             .union(prop)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp")),
+            .agg(F.min("comp").alias("comp"))
+            .observe(obs, ssum),
             rounds,
         )
-        new_sum = new.agg(ssum).collect()[0][0]
+        new_sum = obs.get["s"]
         if new_sum == cur_sum:
             break
         cur, cur_sum = new, new_sum

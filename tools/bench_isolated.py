@@ -30,7 +30,13 @@ OUT_MD = os.path.join(REPO, "BENCH", "ISOLATED.md")
 
 
 def run_one(name: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_QUERIES=name, SPARK_GRAFT_SKIP_CRAWL="1")
+    # The query runs TWICE in its fresh JVM; bench.py's timings dict keeps
+    # the SECOND (warm) wall. A first run in a fresh JVM pays 1-3s of
+    # JIT/codegen warmup that the suite amortizes across 28 queries —
+    # comparing in-suite (warm) walls against cold isolated walls would
+    # read as uniform "speedup" and hide real contamination. Warm-vs-warm
+    # is the apples-to-apples basis.
+    env = dict(os.environ, SPARK_GRAFT_QUERIES=f"{name},{name}", SPARK_GRAFT_SKIP_CRAWL="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, cwd=REPO,
@@ -48,16 +54,23 @@ def main() -> None:
             suite = json.load(f)
         suite = suite.get("parsed", suite).get("queries", {})
 
-    timings: dict[str, float] = {}
-    sf = cpus = None
-    for name in bench.HEADLINE:
-        row = run_one(name)
-        timings[name] = row["queries"][name]
-        sf, cpus = row["sf"], row["cpus"]
-        print(f"{name}: {timings[name]}s", flush=True)
+    if "--render-only" in sys.argv:
+        with open(OUT_JSON) as f:
+            prev = json.load(f)
+        timings, sf, cpus = prev["queries"], prev["sf"], prev["cpus"]
+        # drop queries no longer in the suite; re-run for ones newly added
+        timings = {n: timings[n] for n in bench.HEADLINE if n in timings}
+    else:
+        timings = {}
+        sf = cpus = None
+        for name in bench.HEADLINE:
+            row = run_one(name)
+            timings[name] = row["queries"][name]
+            sf, cpus = row["sf"], row["cpus"]
+            print(f"{name}: {timings[name]}s", flush=True)
 
-    with open(OUT_JSON, "w") as f:
-        json.dump({"queries": timings, "sf": sf, "cpus": cpus}, f, indent=1)
+        with open(OUT_JSON, "w") as f:
+            json.dump({"queries": timings, "sf": sf, "cpus": cpus}, f, indent=1)
 
     rows = []
     for name, iso in timings.items():
@@ -70,18 +83,21 @@ def main() -> None:
         "| query | isolated (s) | in-suite (s) | in-suite / isolated |\n|---|---|---|---|"
         if suite else "| query | isolated (s) |\n|---|---|"
     )
-    md = f"""# Isolated per-query walls (fresh JVM per query)
+    md = f"""# Isolated per-query walls (fresh JVM per query, warm run)
 
-Each headline query timed alone: `SPARK_GRAFT_QUERIES=<name> python bench.py`
-— same code path, warmup, tmpfs dirs and local[{cpus}] as the suite, one
-query per JVM. sf={sf}. Rendered
+Each headline query timed alone: `SPARK_GRAFT_QUERIES=<name>,<name> python
+bench.py` — same code path, warmup, tmpfs dirs and local[{cpus}] as the
+suite; one query per JVM, run twice, the SECOND (warm) wall reported, since
+the suite's walls are warm too (a fresh JVM's first run pays 1-3s of
+JIT/codegen warmup the suite amortizes). sf={sf}. Rendered
 {datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")} by
 tools/bench_isolated.py (regenerate after engine changes; hand edits lost).
 
 This is the column the in-suite numbers of BENCH_r*.json are validated
 against: with the clearCache+GC breath between queries (bench.py), in-suite
-walls should sit within ~1.5x of isolated (host variance band) — a larger
-gap means suite contamination, and the ISOLATED column is the honest one.
+walls should sit within ~1.5x of isolated-warm (host variance band) — a
+larger gap means suite contamination, and the ISOLATED column is the honest
+one.
 
 {hdr}
 {chr(10).join(rows)}
