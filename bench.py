@@ -181,31 +181,37 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).collect()
     qs["a7_per_key_topk"](spark, sf_dir).collect()
 
-    # Timing hygiene (VERDICT r3 #1): without a cache flush + GC breath
-    # between queries, heap/GC residue from a heavy neighbor bleeds into the
-    # next timing — measured 4-6x in BOTH directions (ann_lsh_topk 11.2s
-    # in-suite vs 2.66s isolated; ann_brute 1.19 vs 7.25). Each query now
-    # starts from an empty storage tab and a freshly-GC'd heap, so the
-    # per-query column matches isolated runs (tools/bench_isolated.py
-    # publishes the isolated column to compare against).
+    # Timing hygiene (VERDICT r3 #1), two layers:
+    #   1. cache flush + GC breath before every timed run — heap/GC residue
+    #      from a heavy neighbor bled into the next timing (measured 4-6x in
+    #      BOTH directions: ann_lsh_topk 11.2s in-suite vs 2.66s isolated;
+    #      ann_brute 1.19 vs 7.25).
+    #   2. interleaved best-of-REPS per query (the crawl bench's protocol) —
+    #      this host's available bandwidth swings ~1.8x between identical
+    #      runs, so a single draw can sit anywhere in that band; the min of
+    #      interleaved passes is comparable across runs.
+    # tools/bench_isolated.py publishes the isolated column these numbers
+    # are validated against (within ~1.5x = healthy).
     import gc
 
     # SPARK_GRAFT_QUERIES="a,b" restricts the suite — tools/bench_isolated.py
-    # uses it to time each query in its own fresh JVM (the isolated column
-    # the in-suite numbers are validated against).
+    # uses it to time each query in its own fresh JVM.
     only = os.environ.get("SPARK_GRAFT_QUERIES", "")
     names = [] if crawl_only else ([q for q in only.split(",") if q] or HEADLINE)
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
 
     timings: dict[str, float] = {}
-    for name in names:
-        fn = qs[name]
-        spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(1.0)
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(reps):
+        for name in names:
+            fn = qs[name]
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            wall = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, wall), wall)
 
     out = {
         "metric": "headline_suite_seconds",

@@ -30,13 +30,13 @@ OUT_MD = os.path.join(REPO, "BENCH", "ISOLATED.md")
 
 
 def run_one(name: str) -> dict:
-    # The query runs TWICE in its fresh JVM; bench.py's timings dict keeps
-    # the SECOND (warm) wall. A first run in a fresh JVM pays 1-3s of
+    # bench.py runs each listed query best-of-2 (interleaved reps), so the
+    # reported wall is the WARM one. A first run in a fresh JVM pays 1-3s of
     # JIT/codegen warmup that the suite amortizes across 28 queries —
     # comparing in-suite (warm) walls against cold isolated walls would
     # read as uniform "speedup" and hide real contamination. Warm-vs-warm
     # is the apples-to-apples basis.
-    env = dict(os.environ, SPARK_GRAFT_QUERIES=f"{name},{name}", SPARK_GRAFT_SKIP_CRAWL="1")
+    env = dict(os.environ, SPARK_GRAFT_QUERIES=name, SPARK_GRAFT_SKIP_CRAWL="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, cwd=REPO,
@@ -85,11 +85,11 @@ def main() -> None:
     )
     md = f"""# Isolated per-query walls (fresh JVM per query, warm run)
 
-Each headline query timed alone: `SPARK_GRAFT_QUERIES=<name>,<name> python
-bench.py` — same code path, warmup, tmpfs dirs and local[{cpus}] as the
-suite; one query per JVM, run twice, the SECOND (warm) wall reported, since
-the suite's walls are warm too (a fresh JVM's first run pays 1-3s of
-JIT/codegen warmup the suite amortizes). sf={sf}. Rendered
+Each headline query timed alone: `SPARK_GRAFT_QUERIES=<name> python
+bench.py` — same code path, warmup, best-of-2 reps, tmpfs dirs and
+local[{cpus}] as the suite; one query per JVM, the warm (best-of-2) wall
+reported, since the suite's walls are warm too (a fresh JVM's first run
+pays 1-3s of JIT/codegen warmup the suite amortizes). sf={sf}. Rendered
 {datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")} by
 tools/bench_isolated.py (regenerate after engine changes; hand edits lost).
 
