@@ -177,9 +177,12 @@ def main() -> None:
     # startup: a scan + the agg and window plan shapes, untimed. Without the
     # two query-shaped warmups the FIRST timed queries absorb suite-global
     # JIT warmup (measured: q1 1.76s in-suite vs 0.47s isolated-warm).
+    # Crawl-only runs skip them: the crawl has its own cold-start story
+    # (round 0) and scaling draws must stay comparable across rounds.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    qs["q1_pricing_summary"](spark, sf_dir).collect()
-    qs["a7_per_key_topk"](spark, sf_dir).collect()
+    if not crawl_only:
+        qs["q1_pricing_summary"](spark, sf_dir).collect()
+        qs["a7_per_key_topk"](spark, sf_dir).collect()
 
     # Timing hygiene (VERDICT r3 #1), two layers:
     #   1. cache flush + GC breath before every timed run — heap/GC residue
