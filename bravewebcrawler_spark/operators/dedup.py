@@ -214,7 +214,9 @@ def lsh_refined_pairs(
     The full-corpus shingle self-join (jaccard_pairs) is quadratic in hot
     shingles; here the expensive exact step touches only |candidates| pairs —
     the intersection count joins shingles through the candidate pair list
-    instead of shingle-vs-shingle.
+    instead of shingle-vs-shingle — and size-ratio pruning drops candidate
+    pairs that provably cannot reach the threshold (J <= min_sz/max_sz)
+    before the intersection join runs.
 
     ONE shared shingle-hash pass (:func:`hashed_shingles`): signatures, set
     sizes and intersections all consume the persisted (doc, H) table, so the
@@ -247,18 +249,31 @@ def lsh_refined_pairs(
     if cache_registry is not None:
         cache_registry.extend((shd, cand))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    inter = (
-        cand.join(sh.select(F.col("doc").alias("id_a"), "H"), "id_a")
-        .join(sh.select(F.col("doc").alias("id_b"), "H"), ["id_b", "H"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
+    # Size-ratio candidate pruning: J(A,B) = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|),
+    # so a pair whose set-size ratio cannot reach the threshold cannot pass the
+    # Jaccard filter either — drop it BEFORE the intersection join (the sizes
+    # are already computed; the pruned pairs skip the expensive shingle-level
+    # equi-join entirely). The margin covers the 4-decimal output rounding
+    # (a pair at true J = threshold - 0.00005 still rounds up to threshold)
+    # plus float slack, so pruning can never change the result set.
+    prune_t = threshold - 0.000051
+    cand_sz = (
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .where(F.least("sz_a", "sz_b") >= F.lit(prune_t) * F.greatest("sz_a", "sz_b"))
+    )
+    inter = (
+        cand_sz.join(sh.select(F.col("doc").alias("id_a"), "H"), "id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), "H"), ["id_b", "H"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4)
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -389,6 +404,38 @@ def _scratch_ckpt(spark, prefix: str):
     return work, ckpt, (lambda: shutil.rmtree(work, ignore_errors=True))
 
 
+class _ScratchOwner:
+    """Pairs a persisted result with the scratch checkpoint dir its plan may
+    still recompute through: ``unpersist()`` releases the cache FIRST, then
+    deletes the scratch files. Handed to ``cache_registry`` owners so that on
+    a real cluster an executor loss while the result is still cached can
+    always recompute from the checkpoint parquet — eager deletion right after
+    the materializing count was safe in local mode only (ADVICE r4)."""
+
+    def __init__(self, df: DataFrame, cleanup) -> None:
+        self._df, self._cleanup = df, cleanup
+
+    def unpersist(self, blocking: bool = False):
+        out = self._df.unpersist(blocking)
+        self._cleanup()
+        return out
+
+
+def _finish_cc_result(out: DataFrame, cleanup, cache_registry: list | None) -> DataFrame:
+    """Shared tail of both CC variants: materialize the persisted result,
+    then either hand (result + scratch dir) ownership to the registry via
+    :class:`_ScratchOwner`, or — with no registry — delete the scratch
+    eagerly. The eager path assumes the persisted copy survives until the
+    result is consumed (always true in local mode; on a cluster pass a
+    ``cache_registry`` so scratch outlives the cache)."""
+    out.count()  # materialize before anything touches the scratch checkpoints
+    if cache_registry is not None:
+        cache_registry.append(_ScratchOwner(out, cleanup))
+    else:
+        cleanup()
+    return out
+
+
 def _star_contraction_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -436,6 +483,7 @@ def _star_contraction_components(
     )
     cur_n = cur.count()  # parquet metadata count — no scan
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: per node u, m = min(neighbors ∪ {u}); connect v>u to m
@@ -467,6 +515,7 @@ def _star_contraction_components(
         # exact set-equality convergence (both sides distinct + oriented);
         # the exceptAll runs only when the cheap count gate passes
         if new_n == cur_n and new.exceptAll(cur).count() == 0:
+            converged = True
             break
         cur, cur_n = new, new_n
     if stats is not None:
@@ -474,6 +523,21 @@ def _star_contraction_components(
     # stars point every non-center node at its component min; centers and
     # isolated nodes map to themselves
     labels = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    if not converged:
+        # The edge set is not yet a star forest: a node can carry several
+        # (node, comp) rows, so a bare left join would duplicate rows and
+        # return inconsistent labels silently (ADVICE r4). Collapse to the
+        # per-node min (a consistent-if-unconverged label) and warn loudly —
+        # practically unreachable at max_iters=50 (rounds are O(log n)).
+        import warnings
+
+        warnings.warn(
+            f"star-contraction did not converge in {max_iters} rounds; "
+            "returning per-node min labels, which may under-merge components",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        labels = labels.groupBy("node").agg(F.min("comp").alias("comp"))
     out = (
         nodes.select(F.col(id_col).cast("long").alias("node"))
         .distinct()
@@ -481,11 +545,7 @@ def _star_contraction_components(
         .select("node", F.coalesce("comp", "node").alias("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out.count()  # materialize before deleting the scratch edge checkpoints
-    cleanup()
-    if cache_registry is not None:
-        cache_registry.append(out)
-    return out
+    return _finish_cc_result(out, cleanup, cache_registry)
 
 
 def connected_components(
@@ -531,11 +591,13 @@ def connected_components(
     ``stats`` (optional dict) receives {"rounds": k} for either variant.
 
     Each round's state is checkpointed to scratch parquet and read back
-    (:func:`_scratch_ckpt` — lineage truncation; scratch files are deleted
-    before returning). The FINAL result is persisted and materialized; pass
-    ``cache_registry`` to take ownership of releasing that persist, else the
-    caller should unpersist it (or materialize-and-release) after
-    consumption.
+    (:func:`_scratch_ckpt` — lineage truncation). The FINAL result is
+    persisted and materialized; with a ``cache_registry`` the registry entry
+    owns BOTH the persist and the scratch files (deleted together at
+    ``unpersist()`` — :class:`_ScratchOwner` — so cluster-mode recomputation
+    after executor loss can always re-read the checkpoints); with no registry
+    the scratch is deleted eagerly, which assumes the persisted copy survives
+    until the result is consumed (local mode, or a prompt consumer).
     """
     from pyspark import StorageLevel
 
@@ -587,12 +649,20 @@ def connected_components(
         if new_sum == cur_sum:
             break
         cur, cur_sum = new, new_sum
+    else:
+        # One consistent label per node either way (the groupBy-min keeps the
+        # schema), but an iteration-capped exit means labels may still be
+        # propagating — never fail silently (ADVICE r4).
+        import warnings
+
+        warnings.warn(
+            f"min-label propagation did not converge in {max_iters} rounds; "
+            "labels are consistent but may under-merge components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     und.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
     out = cur.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()  # materialize before deleting the scratch label checkpoints
-    cleanup()
-    if cache_registry is not None:
-        cache_registry.append(out)
-    return out
+    return _finish_cc_result(out, cleanup, cache_registry)
