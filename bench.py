@@ -54,6 +54,8 @@ HEADLINE = [
     "text_fingerprint",
     "text_metrics",
     "decontam_overlap",
+    "host_corpus_stats",
+    "url_freq_prior",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
