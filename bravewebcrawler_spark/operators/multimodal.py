@@ -5,15 +5,20 @@ The crawl engine's interleaved spans carry ``media_ref`` pointers
 columns and runs decode / feature-extract / resize / frame-sample over them.
 
 Decode ladder (what each tier honestly does in this container):
-  1. IMAGE HEADERS — real, pure-Python: width/height parsed from the PNG
+  1. PNG PIXEL DECODE — real, pure-Python (stdlib zlib): IDAT inflate +
+     per-scanline un-filtering (all five PNG filter types incl. Paeth), then
+     exact pixel statistics as the feature vector
+     (:func:`decode_png_pixels`). Covers non-interlaced 8-bit gray / RGB /
+     gray+alpha / RGBA; tested against crafted PNGs with known pixels.
+  2. IMAGE HEADERS — real, pure-Python: width/height parsed from the PNG
      IHDR chunk, JPEG SOFn frame header, or GIF logical screen descriptor
      (:func:`parse_image_header`). No codec library needed; tested against
      crafted byte fixtures.
-  2. PIXEL DECODE / feature extraction — needs a real codec (PIL/libav),
-     which is NOT in this container: the 4-dim feature vector is a
-     deterministic digest-derived stand-in (:func:`_fake_decode`), as are
-     width/height for payloads whose bytes are not one of the three parsed
-     image formats.
+  3. JPEG/GIF PIXEL DECODE / richer feature extraction — needs a real codec
+     (PIL/libav), which is NOT in this container: for those formats the
+     4-dim feature vector is a deterministic digest-derived stand-in
+     (:func:`_fake_decode`), as are width/height for payloads whose bytes
+     are not one of the three parsed image formats.
 What IS fully real and tested either way is the Spark-side plumbing:
 schema, Arrow batch shape, mapInPandas signature, and partition behavior —
 exactly what survives a swap-in of a full codec on a production cluster.
@@ -58,13 +63,119 @@ def decode_available() -> bool:
 
 
 def codec_available() -> bool:
-    """True when a real pixel codec is importable (never in this sandbox)."""
+    """True when a real pixel codec library is importable (never in this
+    sandbox). PNG no longer needs one — :func:`decode_png_pixels` is pure
+    stdlib — so this now gates only the JPEG/GIF pixel paths."""
     try:
         import PIL  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def decode_png_pixels(payload: bytes | None) -> tuple[int, int, list[float]] | None:
+    """REAL PNG pixel decode, pure Python + stdlib zlib — no codec library.
+
+    Walks the chunk stream (IHDR for geometry, concatenated IDAT for the
+    compressed image data; chunk CRCs are skipped — corrupt streams surface
+    as zlib/size errors), inflates, un-filters each scanline per its filter
+    byte (types 0-4: None, Sub, Up, Average, Paeth — PNG spec §9), and
+    returns ``(width, height, feature)`` where the 4-dim feature is EXACT
+    pixel statistics over all samples (channels included):
+
+        [mean/255, min/255, max/255, channels/4]
+
+    Scope: non-interlaced, 8-bit-depth color types 0/2/4/6. Palette images
+    (color type 3), 16-bit depths, and Adam7 interlace return ``None`` —
+    callers fall back to the digest stand-in, same as JPEG/GIF pixel decode
+    (:func:`codec_available`). Per-pixel Python is fine here: this runs
+    inside the Arrow-batched ``mapInPandas`` pass, so the Spark-side shape
+    is identical to what a C-codec swap-in would use.
+    """
+    import zlib
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + CRC
+    channels = _PNG_CHANNELS.get(color_type) if color_type is not None else None
+    if not width or not height or bit_depth != 8 or channels is None or interlace != 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        return None
+    prev = bytearray(stride)
+    px_sum = 0
+    px_min, px_max = 255, 0
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                up = prev[x]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ft != 0:  # unknown filter type — corrupt stream
+            return None
+        px_sum += sum(line)
+        px_min = min(px_min, min(line))
+        px_max = max(px_max, max(line))
+        prev = line
+    n_samples = stride * height
+    feature = [
+        round(px_sum / n_samples / 255.0, 6),
+        round(px_min / 255.0, 6),
+        round(px_max / 255.0, 6),
+        round(channels / 4.0, 6),
+    ]
+    return width, height, feature
 
 
 def parse_image_header(payload: bytes | None) -> tuple[int, int] | None:
@@ -137,13 +248,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode(payload: bytes | None) -> tuple[int | None, int | None, list[float] | None]:
-    """Header-first decode: real container width/height when the bytes are a
-    parseable PNG/JPEG/GIF, digest-derived otherwise; the feature vector is
-    always the deterministic stand-in until a pixel codec exists
-    (:func:`codec_available`)."""
+    """Pixel-first decode ladder: REAL pixel stats for decodable PNGs
+    (:func:`decode_png_pixels`), else real container width/height from the
+    header when the bytes are a parseable PNG/JPEG/GIF with the digest
+    stand-in feature, else digest-derived everything (JPEG/GIF pixel decode
+    still needs a codec — :func:`codec_available`)."""
     if payload is None:
         return None, None, None
     payload = bytes(payload)
+    px = decode_png_pixels(payload)
+    if px is not None:
+        return px
     hdr = parse_image_header(payload)
     w, h, feature = _fake_decode(payload)
     if hdr is not None:
