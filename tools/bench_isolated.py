@@ -58,8 +58,19 @@ def main() -> None:
         with open(OUT_JSON) as f:
             prev = json.load(f)
         timings, sf, cpus = prev["queries"], prev["sf"], prev["cpus"]
-        # drop queries no longer in the suite; re-run for ones newly added
+        # drop queries no longer in the suite; RUN queries newly added to
+        # HEADLINE (ADVICE r4: silently omitting them made the rendered file
+        # claim full coverage it didn't have), then persist the merged json
         timings = {n: timings[n] for n in bench.HEADLINE if n in timings}
+        missing = [n for n in bench.HEADLINE if n not in timings]
+        for name in missing:
+            row = run_one(name)
+            timings[name] = row["queries"][name]
+            print(f"{name} (new in HEADLINE): {timings[name]}s", flush=True)
+        if missing:
+            timings = {n: timings[n] for n in bench.HEADLINE}  # suite order
+            with open(OUT_JSON, "w") as f:
+                json.dump({"queries": timings, "sf": sf, "cpus": cpus}, f, indent=1)
     else:
         timings = {}
         sf = cpus = None
