@@ -14,6 +14,8 @@ Configs:
             throughput for batch — measured, not assumed)
   offheap   ParallelGC + spark.memory.offHeap 24g: execution/storage memory
             moves off the Java heap, cutting the GC-scanned footprint
+  zstd      ParallelGC + zstd shuffle/IO compression (default lz4): smaller
+            shuffle blocks trade CPU for allocation/IO pressure
 
 Usage: python BENCH/run_gc_ab.py [--levels 8,32] [--repeat K] [--configs a,b]
 Render into BENCH/BASELINE.md with: python BENCH/run_scaling.py --render-only
@@ -37,6 +39,7 @@ CONFIGS: dict[str, dict[str, str]] = {
     "offheap": {
         "BWC_EXTRA_CONF": "spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=25769803776"
     },
+    "zstd": {"BWC_EXTRA_CONF": "spark.io.compression.codec=zstd"},
 }
 
 
