@@ -332,12 +332,17 @@ term is ~1 anyway.
     pair_rows = "\n".join(
         f"| local[{a}] -> local[{b}] | **{e:.3f}** |" for (a, b), e in eff.items()
     )
+    # ALL draws per (rep, level), like the exec appendix: run_scaling.py
+    # offsets rep ids across invocations so duplicates shouldn't occur, but
+    # if a cell ever holds several draws, rendering only the first would
+    # silently drop measurements (ADVICE r4 #4).
     n_reps = max((int(r.get("rep", 0)) for r in local), default=-1) + 1
     rep_rows = "\n".join(
         "| " + str(i) + " | "
         + " | ".join(
-            next((str(r["crawl_urls_per_s"]) for r in local
-                  if int(r.get("rep", -1)) == i and int(r["cpus"]) == c), "—")
+            (", ".join(str(r["crawl_urls_per_s"]) for r in local
+                       if int(r.get("rep", -1)) == i and int(r["cpus"]) == c)
+             or "—")
             for c in LEVELS
         )
         + " |"
