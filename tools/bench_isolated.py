@@ -12,6 +12,9 @@ suite — and writes:
 
 Usage: python tools/bench_isolated.py [--suite-json BENCH_rXX.json]
 (the optional suite JSON adds an in-suite column + ratio to ISOLATED.md).
+--rerun a,b,c re-measures just the named queries (fresh JVMs) and merges
+them into the recorded column — for re-timing the queries an engine change
+touched without re-running the whole suite.
 """
 
 from __future__ import annotations
@@ -54,7 +57,7 @@ def main() -> None:
             suite = json.load(f)
         suite = suite.get("parsed", suite).get("queries", {})
 
-    if "--render-only" in sys.argv:
+    if "--render-only" in sys.argv or "--rerun" in sys.argv:
         with open(OUT_JSON) as f:
             prev = json.load(f)
         timings, sf, cpus = prev["queries"], prev["sf"], prev["cpus"]
@@ -63,10 +66,15 @@ def main() -> None:
         # claim full coverage it didn't have), then persist the merged json
         timings = {n: timings[n] for n in bench.HEADLINE if n in timings}
         missing = [n for n in bench.HEADLINE if n not in timings]
+        if "--rerun" in sys.argv:
+            names = sys.argv[sys.argv.index("--rerun") + 1].split(",")
+            unknown = [n for n in names if n not in bench.HEADLINE]
+            assert not unknown, f"not in bench.HEADLINE: {unknown}"
+            missing = list(dict.fromkeys(missing + names))
         for name in missing:
             row = run_one(name)
             timings[name] = row["queries"][name]
-            print(f"{name} (new in HEADLINE): {timings[name]}s", flush=True)
+            print(f"{name}: {timings[name]}s", flush=True)
         if missing:
             timings = {n: timings[n] for n in bench.HEADLINE}  # suite order
             with open(OUT_JSON, "w") as f:
