@@ -40,6 +40,12 @@ CONFIGS: dict[str, dict[str, str]] = {
         "BWC_EXTRA_CONF": "spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=25769803776"
     },
     "zstd": {"BWC_EXTRA_CONF": "spark.io.compression.codec=zstd"},
+    "offzstd": {
+        "BWC_EXTRA_CONF": (
+            "spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=25769803776;"
+            "spark.io.compression.codec=zstd"
+        )
+    },
 }
 
 
