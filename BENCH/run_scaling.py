@@ -395,15 +395,18 @@ term is ~1 anyway.
                     f"({d32:+.1f}% throughput, {deff:+.3f} on the 8->32 "
                     "efficiency). "
                     + (
-                        "The single-JVM GC term is real but config-tunable "
-                        "only at the margin — separate executor heaps "
-                        "(the headline exec-mode table) remain the "
-                        "structural fix."
-                        if abs(d32) < 15
-                        else "A config-level win this large says the shared "
-                        "heap itself, not the collector choice, was the "
-                        "residual — see the headline exec-mode table for "
-                        "the structural fix."
+                        # Host variance on identical runs has measured up to
+                        # 1.8x; only a gap far outside that band supports a
+                        # config-level conclusion.
+                        "Within the host's run-to-run variance band: the "
+                        "single-JVM GC term is real but config-tunable only "
+                        "at the margin — separate executor heaps (the "
+                        "headline exec-mode table) remain the structural fix."
+                        if abs(d32) < 40
+                        else "A config-level win this far outside the host's "
+                        "variance band says the shared heap itself, not the "
+                        "collector choice, was the residual — see the "
+                        "headline exec-mode table for the structural fix."
                     )
                     + "\n"
                 )
