@@ -29,6 +29,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scan-parallelism guard for compute-heavy map work (optimization guide
+    §2.5 "input skew ... repartition immediately after the read").
+
+    The sandbox testdata ships each table as ONE parquet file with one row
+    group (documents/events/embeddings), so every scan opens as a single
+    input split and all downstream per-row work — the shingle+md5 churn of
+    the dedup ladder, the regex batteries, the text-metrics battery — runs in
+    ONE task regardless of core count (measured: dedup_minhash_lsh 21.4 s at
+    sf1.0/local[32] with a 3-task map stage doing ~all the work). One small
+    round-robin exchange right after the read (documents at sf1.0: ~16 MB)
+    spreads rows across the cluster. At production scale inputs arrive as
+    many splits and this is a no-op — the partition-count check is plan
+    metadata, not a job. Results are unaffected: consumers below a spread
+    are per-row deterministic expressions, exact (integer/min/max/count)
+    aggregates, or float aggregates whose input order is already arbitrary
+    today (corpus_prep's avg(quality) reaches its groupBy through shuffled
+    joins). The TPC-H revenue sums — double sums whose addition order is
+    TODAY still the single-split scan order — deliberately do not use it."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # =====================================================================
 # flagship
 # =====================================================================
@@ -156,7 +181,7 @@ def _facts_text():
 
 def f_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7-F11 extraction battery (google_harvester.py:13-16,61-64)."""
-    docs = _t(spark, sf_dir, "documents").withColumn("t2", _facts_text())
+    docs = _spread(_t(spark, sf_dir, "documents")).withColumn("t2", _facts_text())
     return docs.select(
         "doc_id",
         X.che_id_col(F.col("t2")).alias("che_id"),
@@ -178,7 +203,7 @@ def facts_per_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential oracle)."""
     from bravewebcrawler_spark.plans.facts import battery_cols, merge_facts_per_seed
 
-    docs = _t(spark, sf_dir, "documents").withColumn("t2", _facts_text())
+    docs = _spread(_t(spark, sf_dir, "documents")).withColumn("t2", _facts_text())
     src = docs.select(
         (F.col("doc_id") % 200).alias("seed_id"),
         (F.col("doc_id") % 3).alias("tier"),
@@ -397,7 +422,9 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
-    return docs.unionByName(near).unionByName(exact)
+    # _spread: the union reads a single-split file 3x → 3 map tasks carry the
+    # entire shingle/md5/signature churn of every dedup consumer (guide §2.5)
+    return _spread(docs.unionByName(near).unionByName(exact))
 
 
 _SQL_CORPUS = """
@@ -527,7 +554,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fp"))
 
 
@@ -594,7 +621,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     with every metric still value-checked — and it is the more
     production-faithful shape anyway: a 100-TB quality pass computes all
     per-doc metrics in one scan of the corpus, not four."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         TX.lang_id_col(F.col("text")).alias("lang_guess"),
@@ -651,7 +678,7 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-join — the corpus is never shuffled."""
     from bravewebcrawler_spark.operators.decontam import contamination_hits
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     bench = docs.where(F.col("doc_id") % 83 == 0)
     corp = docs.where(F.col("doc_id") % 83 != 0)
     return contamination_hits(corp, bench, "doc_id", "text", "text", k=_DECONTAM_K)
@@ -689,8 +716,12 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate-and-chunk documents into 512-token
     training sequences via a distributed weighted prefix sum — no
-    global-order window (operators/packing.py)."""
-    docs = _t(spark, sf_dir, "documents")
+    global-order window (operators/packing.py). The packing result is
+    partitioning-independent by construction (offsets are computed from
+    actual partition contents over a deterministic global (u, id) order), so
+    the spread only parallelizes the token-count scan + the range-partition
+    sampling pass."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     d = docs.select(
         "doc_id", TX.ws_token_count_col(F.col("text")).cast("long").alias("n_tokens")
     )
@@ -723,7 +754,7 @@ def host_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns) is pytest-asserted within its error bound in the same test
     file — HLL sketches are not bit-identical across engines, so the
     registry row keeps the exact distinct count."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(TX.ws_token_count_col(F.col("text")).cast("long")).alias("total_tokens"),
