@@ -512,13 +512,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component = min doc id reachable through the pair graph (singletons map
     to themselves). The keep-one-per-cluster step a corpus pipeline runs
     after pairwise dedup: (a,b),(b,c) collapse to one cluster {a,b,c}."""
-    corpus = _neardup_corpus(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # corpus feeds the pairs chain AND the CC nodes table — persist it so the
+    # scan+union+spread runs once, released with the final materialize (the
+    # first _materialize_and_release must NOT own it: CC still needs it).
+    corpus = _neardup_corpus(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     caches: list = []
+    late: list = [corpus]
     pairs = DD.lsh_refined_pairs(corpus, "doc_id", "text", k=3, threshold=0.6, cache_registry=caches)
     pairs = _materialize_and_release(pairs, caches)
-    comp = DD.connected_components(pairs, corpus, id_col="doc_id", cache_registry=caches)
+    comp = DD.connected_components(pairs, corpus, id_col="doc_id", cache_registry=late)
     out = comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
-    return _materialize_and_release(out, caches)
+    return _materialize_and_release(out, late)
 
 
 def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,15 +532,19 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (min doc id) with its member count — what a training-data
     pipeline actually writes out after near-dup collapse. Singleton docs are
     their own representative with n_members = 1."""
-    corpus = _neardup_corpus(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # same corpus persist rationale as dedup_components above
+    corpus = _neardup_corpus(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     caches: list = []
+    late: list = [corpus]
     pairs = DD.lsh_refined_pairs(corpus, "doc_id", "text", k=3, threshold=0.6, cache_registry=caches)
     pairs = _materialize_and_release(pairs, caches)
-    comp = DD.connected_components(pairs, corpus, id_col="doc_id", cache_registry=caches)
+    comp = DD.connected_components(pairs, corpus, id_col="doc_id", cache_registry=late)
     out = comp.groupBy(F.col("comp").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    return _materialize_and_release(out, caches)
+    return _materialize_and_release(out, late)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

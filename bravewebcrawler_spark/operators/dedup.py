@@ -609,6 +609,13 @@ def connected_components(
     und = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .union(edges.select(F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")))
+        # key the cached edge list by the per-round join key and let AQE size
+        # the exchange: a bare union persists as (2 x input) partitions — at
+        # bench scale 64 near-empty cached blocks that every round's join (or
+        # broadcast build) re-reads as 64 tasks (measured ~1.5 s/round of
+        # pure scheduling); at 10^10 edges the same rule yields real-sized
+        # hash partitions aligned with the propagation join.
+        .repartition(F.col("u"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # per-round scratch checkpoint: the round body references `cur` twice,

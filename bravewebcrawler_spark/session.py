@@ -90,6 +90,11 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_DRIVER_MEM", "16g" if n_exec > 0 else "90g"),
         )
+        # Headroom over the 1g default: a CollectLimit probe's per-task
+        # results can transiently exceed 1g before the driver truncates at
+        # the limit (seen with the >1M-row simhash pair list at sf1.0); the
+        # driver heap above is sized far past this.
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_DRIVER_MAX_RESULT", "8g"))
         # Throughput GC: G1's pause-time goal thrashes under 32 task threads'
         # allocation rate (measured: 226s -> 102s on the crawl bench at
         # local[32]); batch analytics prefers ParallelGC throughput.

@@ -50,7 +50,12 @@ def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterab
 
 def running_user_stats_stream(spark: SparkSession, events_path: str) -> DataFrame:
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
-    return stream.groupBy("user_id").applyInPandasWithState(
+    # Project to the two columns the state function touches BEFORE the
+    # key shuffle: the full event row carries a ~100-byte JSON props string
+    # plus three more unused columns, all of which would otherwise cross the
+    # state-store shuffle AND the Arrow/Python boundary per micro-batch
+    # (optimization guide §4.1 — pass only what the function needs).
+    return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         _update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
 
