@@ -279,6 +279,41 @@ def lsh_refined_pairs(
     )
 
 
+def dedup_cluster_tables(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    components: DataFrame | None = None,
+    cache_registry: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(components, roster) for the LSH-refined duplicate-cluster pipeline.
+
+    ``components`` is the per-doc cluster map ``(node, comp)``; ``roster``
+    is the keep-one view ``(doc_id, n_members)`` derived from it. A pipeline
+    that needs BOTH (write the cluster map, write the deduplicated roster)
+    passes the already-computed ``components`` table back in and the whole
+    pairs+connected-components chain runs ONCE instead of once per view
+    (round-5 verdict #6 — the two registry rows each cost the full chain
+    when self-contained). ``components=None`` computes the chain here:
+    lsh_refined_pairs → connected_components, identical to the registry
+    queries' own composition; tests/test_components.py proves the reuse
+    path row-for-row equal to the self-contained one.
+    """
+    if components is None:
+        pairs = lsh_refined_pairs(
+            corpus, id_col, text_col, k=k, threshold=threshold, cache_registry=cache_registry
+        )
+        components = connected_components(
+            pairs, corpus, id_col=id_col, cache_registry=cache_registry
+        )
+    roster = components.groupBy(F.col("comp").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return components, roster
+
+
 def simhash_col(text_col, bits: int = 16):
     """SimHash over whitespace tokens: bit b is the sign of the per-bit vote
     sum across token hashes. Composed per-bit from array folds (built-ins)."""
