@@ -578,7 +578,13 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is computed on the filtered corpus only)."""
     corpus = _neardup_corpus(spark, sf_dir)
     q = corpus.withColumn("quality", TX.quality_score_col(F.col("text")))
-    kept = q.where(F.col("quality") >= 0.65)
+    from pyspark import StorageLevel
+
+    caches: list = []
+    # kept feeds BOTH sides of the exact-dedup semi-join (the keeper list and
+    # the rows being kept) — unpersisted, the scan+quality prefix ran twice
+    kept = q.where(F.col("quality") >= 0.65).persist(StorageLevel.MEMORY_AND_DISK)
+    caches.append(kept)
     keepers = kept.groupBy(F.md5(F.col("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
     uniq = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
     # lsh_refined_pairs fans uniq into three branches (signatures, shingle
@@ -587,10 +593,16 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 148s -> ~30s at sf0.1). All caches are registered and
     # released deterministically via _materialize_and_release (the result is
     # a tiny per-language aggregate).
-    from pyspark import StorageLevel
-
-    caches: list = []
-    uniq = uniq.persist(StorageLevel.MEMORY_AND_DISK)
+    # The explicit repartition before the persist sets the parallelism of
+    # every downstream mapInArrow shingle/signature pass: the semi-join
+    # output otherwise caches at its AQE-coalesced partition count (a
+    # handful at bench scale), serializing the Python passes (measured: the
+    # pairs chain on uniq 12s vs 5s on the 32-partition registry corpus).
+    # defaultParallelism scales with the cluster; AQE leaves user-specified
+    # repartition counts alone.
+    uniq = uniq.repartition(spark.sparkContext.defaultParallelism).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     caches.append(uniq)
     pairs = DD.lsh_refined_pairs(uniq, "doc_id", "text", k=3, threshold=0.6, cache_registry=caches)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()

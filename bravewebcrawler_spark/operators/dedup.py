@@ -97,45 +97,153 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 3, thresho
     )
 
 
+def _tokens_py(txt: str | None) -> list[str]:
+    """Python twin of functions.text.tokens_col — split on single spaces,
+    drop empty tokens. Identical token lists by construction."""
+    return [t for t in (txt or "").split(" ") if t]
+
+
+def _shingle_hash_fn(k: int):
+    """mapInArrow body for :func:`hashed_shingles`: per doc, the 60-bit md5
+    hash of each distinct k-shingle. hashlib.md5 == Spark md5 == DuckDB md5
+    (same algorithm over the same UTF-8 bytes), and
+    int(hexdigest[:15], 16) == conv(substring(md5(s),1,15),16,10)."""
+
+    def run(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("doc").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_d: list[int] = []
+            out_h: list[int] = []
+            ap_d, ap_h = out_d.append, out_h.append
+            md5 = hashlib.md5
+            for d, txt in zip(ids, texts):
+                toks = _tokens_py(txt)
+                n = len(toks)
+                if n < k:
+                    continue
+                seen: set[str] = set()
+                add = seen.add
+                for i in range(n - k + 1):
+                    s = " ".join(toks[i : i + k])
+                    if s not in seen:
+                        add(s)
+                        ap_d(d)
+                        ap_h(int(md5(s.encode("utf-8")).hexdigest()[:15], 16))
+            if out_d:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_d, pa.int64()), pa.array(out_h, pa.int64())],
+                    names=["doc", "H"],
+                )
+
+    return run
+
+
 def hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(doc, H) — the portable 60-bit hash of each DISTINCT k-shingle per doc.
 
     The ONE pass over the text that every shingle-based operator can share:
-    minhash signatures (min over distinct == min over all), set sizes, and
-    intersection counts all derive from it, so the tokenize→slice→join string
-    churn and the md5 per shingle run once instead of once per consumer, and
-    everything downstream shuffles 16-byte (doc, long) rows instead of
-    shingle strings. array_distinct is map-side (inside the array, before
-    explode) — no extra shuffle.
+    set sizes and intersection counts derive from it, so everything
+    downstream shuffles 16-byte (doc, long) rows instead of shingle strings.
+
+    Round-6: the pass runs as an Arrow-batched Python transform
+    (optimization guide §4.2). The previous column-expression form
+    (transform/slice/array_join + md5 per shingle) evaluated its
+    higher-order-function lambdas per ELEMENT outside whole-stage codegen —
+    measured ~79 core-seconds for the sf1.0 corpus's 3.2M shingles (~25 µs
+    per shingle); the same work as a Python loop over Arrow batches with C
+    ``hashlib.md5`` is ~7 core-seconds. Values are bit-identical (same md5
+    over the same UTF-8 bytes, same hex-prefix integer), pytest/oracle
+    checked, and only (doc, text) crosses the boundary.
     """
     return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("s"),
-    ).select("doc", portable_hash64(F.col("s")).alias("H"))
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+    ).mapInArrow(_shingle_hash_fn(k), "doc long, H long")
+
+
+def _minhash_sig_fn(k: int):
+    """mapInArrow body for the direct signature pass: per doc, the 16
+    minhash values over its distinct shingle-hash set, computed with one
+    NumPy segment-min per hash function. Exact integer math: h < P and
+    a_j <= 35 keep a_j*h + b_j < 2^63, so int64 never wraps; min over the
+    distinct set equals min over all occurrences; distinct-ness taken on the
+    hash values is min-equivalent to distinct-ness on the shingle strings
+    (a 60-bit collision merges equal values, which cannot change a min)."""
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        coeffs = [(2 * j + 3, 5 * j + 7) for j in range(NUM_HASHES)]
+        for batch in batches:
+            ids = batch.column("doc").to_pylist()
+            texts = batch.column("text").to_pylist()
+            doc_out: list[int] = []
+            counts: list[int] = []
+            flat: list[int] = []
+            md5 = hashlib.md5
+            for d, txt in zip(ids, texts):
+                toks = _tokens_py(txt)
+                n = len(toks)
+                if n < k:
+                    continue
+                hs: set[int] = set()
+                add = hs.add
+                for i in range(n - k + 1):
+                    s = " ".join(toks[i : i + k])
+                    add(int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P)
+                doc_out.append(d)
+                counts.append(len(hs))
+                flat.extend(hs)
+            if not doc_out:
+                continue
+            H = np.array(flat, dtype=np.int64)
+            offs = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            cols = [
+                pa.array(np.minimum.reduceat((H * a + b) % MINHASH_P, offs), pa.int64())
+                for a, b in coeffs
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_out, pa.int64()), *cols],
+                names=["doc", *[f"m{j}" for j in range(NUM_HASHES)]],
+            )
+
+    return run
 
 
 def minhash_signature_cols(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, shingle_hashes: DataFrame | None = None
 ) -> DataFrame:
-    """Signature as NUM_HASHES columns via explode + hash-aggregate:
+    """Per-doc minhash signature as NUM_HASHES columns:
     h_j(s) = (a_j * H(s) + b_j) mod P with H the portable 60-bit hash reduced
     mod P; a_j <= 2*NUM_HASHES+3 keeps a_j*H < 2^63 (ANSI-safe).
 
-    The corpus-scale shape: each shingle is hashed ONCE, and the per-doc min
-    is a map-side partial aggregate — shuffle carries only (doc, 16 longs).
-    Pass ``shingle_hashes`` (a :func:`hashed_shingles` result, possibly
-    persisted) to reuse an existing hash pass — min over the distinct
-    shingle set equals min over all occurrences, so the signature is
-    identical either way.
+    Round-6 default path: ONE Arrow-batched Python pass over (doc, text)
+    computes shingle hashes and all 16 per-doc minima in place
+    (:func:`_minhash_sig_fn`) — each task's batch holds complete docs, so no
+    shuffle happens at all before the (doc, 16 longs) signature rows exist
+    (the former explode → 16-way min hash-aggregate measured ~53
+    core-seconds at sf1.0 for the aggregate alone, on top of a ~79
+    core-second shingle pass). Pass ``shingle_hashes`` (a
+    :func:`hashed_shingles` result, possibly persisted) to derive the
+    signature from an existing hash table instead — same values either way
+    (min over the distinct shingle set equals min over all occurrences).
     """
     if shingle_hashes is None:
-        sh = (
-            df.where(F.size(tokens_col(F.col(text_col))) >= k)
-            .select(F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
-            .select("doc", (portable_hash64(F.col("s")) % MINHASH_P).alias("h"))
+        return df.select(
+            F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+        ).mapInArrow(
+            _minhash_sig_fn(k),
+            "doc long, " + ", ".join(f"m{j} long" for j in range(NUM_HASHES)),
         )
-    else:
-        sh = shingle_hashes.select("doc", (F.col("H") % MINHASH_P).alias("h"))
+    sh = shingle_hashes.select("doc", (F.col("H") % MINHASH_P).alias("h"))
     aggs = [
         F.min((F.col("h") * (2 * j + 3) + (5 * j + 7)) % MINHASH_P).alias(f"m{j}")
         for j in range(NUM_HASHES)
@@ -218,12 +326,13 @@ def lsh_refined_pairs(
     pairs that provably cannot reach the threshold (J <= min_sz/max_sz)
     before the intersection join runs.
 
-    ONE shared shingle-hash pass (:func:`hashed_shingles`): signatures, set
-    sizes and intersections all consume the persisted (doc, H) table, so the
-    tokenize/slice/md5 string churn runs once (was: once for the signature
-    pass + once for the refinement explode — the dominant cost of corpus_prep
-    at sf0.1), and the refinement shuffles 16-byte longs, never shingle
-    strings. Jaccard on 60-bit shingle hashes equals Jaccard on the shingle
+    Two Arrow-batched Python passes over the corpus (round-6): the direct
+    signature pass (shingle → 16 minima inside one batch, no shuffle) and
+    the shared (doc, H) hash table (:func:`hashed_shingles`, persisted) that
+    set sizes and intersection counts consume — so the refinement shuffles
+    16-byte longs, never shingle strings, and the candidate step shuffles
+    nothing before the banded signature rows exist. Jaccard on 60-bit
+    shingle hashes equals Jaccard on the shingle
     sets themselves absent a 60-bit collision inside a candidate pair
     (~|set|^2 / 2^60) — and the DuckDB oracle hashes identically, so parity
     is exact by construction either way.
@@ -239,8 +348,13 @@ def lsh_refined_pairs(
     # unpersists once the consumed plan is garbage-collected — correct, but
     # in a long-lived session several such caches can coexist.
     shd = hashed_shingles(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # shingle_hashes deliberately NOT forwarded (round-6): the direct
+    # signature pass (_minhash_sig_fn) computes the 16 minima inside the
+    # same Arrow batch that shingles the doc — re-deriving them from the
+    # persisted shd table was a 3.2M-row 16-way min hash-aggregate measured
+    # ~53 core-seconds at sf1.0; re-shingling in the direct pass costs ~7.
     cand = minhash_lsh_pairs(
-        df, id_col, text_col, k, shingle_hashes=shd, cache_registry=cache_registry
+        df, id_col, text_col, k, cache_registry=cache_registry
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cand_docs = cand.select(F.col("id_a").alias("doc")).unionByName(
         cand.select(F.col("id_b").alias("doc"))
