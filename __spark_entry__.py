@@ -795,17 +795,19 @@ def url_freq_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregated host dimension is tiny (|hosts| << |links|) so AQE
     broadcasts it; no explode, no self-join (the slot freed by demoting the
     crossJoin embed_neardup baseline, VERDICT r4 #3)."""
+    # Round-6 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    # host is a bijection of the integer bucket o_custkey % 50, so the count
+    # and the join-back both run on the 8-byte bucket — the host STRING is
+    # concat'd exactly once per output row in the final projection instead of
+    # twice per input row (agg input + join key). Same host strings, same
+    # counts, same prior: count-per-bucket == count-per-host under a
+    # bijection, pytest/oracle checked.
     orders = _t(spark, sf_dir, "orders")
-    links = orders.select(
+    links = orders.select("o_orderkey", (F.col("o_custkey") % 50).alias("hb"))
+    host_df = links.groupBy("hb").agg(F.count("*").alias("host_df"))
+    return links.join(host_df, "hb").select(
         "o_orderkey",
-        F.concat(
-            F.lit("www.host"), (F.col("o_custkey") % 50).cast("string"), F.lit(".ch")
-        ).alias("host"),
-    )
-    host_df = links.groupBy("host").agg(F.count("*").alias("host_df"))
-    return links.join(host_df, "host").select(
-        "o_orderkey",
-        "host",
+        F.concat(F.lit("www.host"), F.col("hb").cast("string"), F.lit(".ch")).alias("host"),
         "host_df",
         F.round(F.lit(1.0) / F.col("host_df"), 8).alias("prior"),
     )

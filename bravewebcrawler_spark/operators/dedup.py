@@ -774,11 +774,21 @@ def connected_components(
     from pyspark.sql import Observation
 
     ssum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    # Round-6: propagate labels over EDGE-ENDPOINT nodes only. A node that
+    # appears in no pair has no neighbors — its label can never change — so
+    # dragging the full node table through every round's join + groupBy-min
+    # is pure overhead; it rejoins at the end via the left-join + coalesce
+    # (exactly the star variant's tail). In a real corpus near-dup graph the
+    # overwhelming majority of docs are singletons, so the per-round state
+    # shrinks from |corpus| to |endpoints| at any scale. Identical labels by
+    # construction: endpoints see the same propagation; non-endpoints were
+    # (node, node) throughout and coalesce(comp, node) restores precisely
+    # that row.
     obs0 = Observation()
     cur = ckpt(
-        nodes.select(F.col(id_col).cast("long").alias("node"))
+        und.select("u")
         .distinct()
-        .select("node", F.col("node").alias("comp"))
+        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
         .observe(obs0, ssum),
         0,
     )
@@ -817,8 +827,19 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    und.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
-    out = cur.persist(StorageLevel.MEMORY_AND_DISK)
-    return _finish_cc_result(out, cleanup, cache_registry)
+    out = (
+        nodes.select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+        .join(cur.select("node", "comp"), "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    result = _finish_cc_result(out, cleanup, cache_registry)
+    # und can only be released after the result is materialized: the final
+    # ckpt'd `cur` no longer references it, but materialization above runs
+    # through the left join whose build may still be in flight when this
+    # returns — _finish_cc_result has already count()'d, so release now.
+    und.unpersist()
+    return result

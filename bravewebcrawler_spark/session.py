@@ -55,6 +55,17 @@ def get_spark(
         shuffle_partitions = max(n * mult, 8)
 
     aqe = os.environ.get("SPARK_GRAFT_AQE", "1") == "1"
+    # Resolve the driver heap BEFORE composing JVM options: -Xms below must
+    # match whatever spark.driver.memory finally is, including an extra_conf
+    # or BWC_EXTRA_CONF override (tests run an 8 g driver; Xms32g there would
+    # abort the JVM with "Initial heap size > maximum heap size").
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "16g" if n_exec > 0 else "32g")
+    for kv in filter(None, os.environ.get("BWC_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        if k.strip() == "spark.driver.memory":
+            driver_mem = v.strip()
+    if extra_conf and "spark.driver.memory" in extra_conf:
+        driver_mem = extra_conf["spark.driver.memory"]
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -86,10 +97,7 @@ def get_spark(
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         # In executor mode the driver runs no tasks — keep it small so
         # driver + N executor heaps fit the host together.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_DRIVER_MEM", "16g" if n_exec > 0 else "90g"),
-        )
+        .config("spark.driver.memory", driver_mem)
         # Headroom over the 1g default: a CollectLimit probe's per-task
         # results can transiently exceed 1g before the driver truncates at
         # the limit (seen with the >1M-row simhash pair list at sf1.0); the
@@ -98,7 +106,25 @@ def get_spark(
         # Throughput GC: G1's pause-time goal thrashes under 32 task threads'
         # allocation rate (measured: 226s -> 102s on the crawl bench at
         # local[32]); batch analytics prefers ParallelGC throughput.
-        .config("spark.driver.extraJavaOptions", os.environ.get("BWC_JVM_OPTS", "-XX:+UseParallelGC"))
+        #
+        # Round-6 (measured via -Xlog:gc*): with no -Xms the heap starts at
+        # ~2 GB and ParallelGC pays a FULL "Ergonomics" GC at every growth
+        # step — 30 full GCs across two dedup queries, with task-visible
+        # pauses up to 19 s once the heap is large (jvmGcTime was 19.4 s of a
+        # 21.4 s task). Pre-committing the heap (-Xms = -Xmx) removes the
+        # growth-triggered full GCs, and MetaspaceSize=512m removes the
+        # "Metadata GC Threshold" full GCs that codegen class-loading fires
+        # early in every session. 32 g (not 90 g) keeps any remaining full
+        # collection proportionally short — full-GC cost scales with heap —
+        # while holding the 8 g maxResultSize headroom with room to spare
+        # (heavy-4 query A/B at sf1.0: 47-72 s band -> 38-46 s).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "BWC_JVM_OPTS",
+                f"-XX:+UseParallelGC -Xms{driver_mem} -XX:MetaspaceSize=512m",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
@@ -112,7 +138,15 @@ def get_spark(
         worker_mem_mb = master[len("local-cluster[") : -1].split(",")[2].strip()
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = (
-            builder.config("spark.executor.extraJavaOptions", os.environ.get("BWC_JVM_OPTS", "-XX:+UseParallelGC"))
+            builder.config(
+                "spark.executor.extraJavaOptions",
+                os.environ.get(
+                    "BWC_JVM_OPTS",
+                    # same pre-committed-heap rationale as the driver options
+                    # above, sized to THIS executor's memory
+                    f"-XX:+UseParallelGC -Xms{worker_mem_mb}m -XX:MetaspaceSize=256m",
+                ),
+            )
             .config("spark.executor.memory", f"{worker_mem_mb}m")
             .config("spark.executorEnv.PYTHONPATH", repo_root)
         )
