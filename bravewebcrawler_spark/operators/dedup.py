@@ -143,6 +143,57 @@ def _shingle_hash_fn(k: int):
     return run
 
 
+def _shingle_hash_array_fn(k: int):
+    """mapInArrow body for :func:`shingle_hash_arrays`: per doc, the full
+    DISTINCT shingle-hash set as ONE list<int64> cell (same 60-bit md5
+    values as :func:`hashed_shingles`, grouped per doc inside the batch so
+    no groupBy shuffle is ever needed to reassemble the set)."""
+
+    def run(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("doc").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_d: list[int] = []
+            out_hs: list[list[int]] = []
+            md5 = hashlib.md5
+            for d, txt in zip(ids, texts):
+                toks = _tokens_py(txt)
+                n = len(toks)
+                if n < k:
+                    out_d.append(d)
+                    out_hs.append([])
+                    continue
+                seen: set[int] = set()
+                add = seen.add
+                for i in range(n - k + 1):
+                    add(int(md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest()[:15], 16))
+                out_d.append(d)
+                out_hs.append(list(seen))
+            if out_d:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_d, pa.int64()), pa.array(out_hs, pa.list_(pa.int64()))],
+                    names=["doc", "hs"],
+                )
+
+    return run
+
+
+def shingle_hash_arrays(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc, hs: array<long>) — each doc's DISTINCT shingle-hash set as one
+    array cell, from a single Arrow-batched pass (guide §4.2). The row-per-
+    shingle twin is :func:`hashed_shingles`; this form exists for consumers
+    that need whole sets per doc (exact-Jaccard refinement): set size is
+    ``size(hs)`` and the intersection count is ``size(array_intersect)`` —
+    no explode, no groupBy, no shingle-level shuffle at all."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+    ).mapInArrow(_shingle_hash_array_fn(k), "doc long, hs array<long>")
+
+
 def hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(doc, H) — the portable 60-bit hash of each DISTINCT k-shingle per doc.
 
@@ -327,65 +378,70 @@ def lsh_refined_pairs(
     before the intersection join runs.
 
     Two Arrow-batched Python passes over the corpus (round-6): the direct
-    signature pass (shingle → 16 minima inside one batch, no shuffle) and
-    the shared (doc, H) hash table (:func:`hashed_shingles`, persisted) that
-    set sizes and intersection counts consume — so the refinement shuffles
-    16-byte longs, never shingle strings, and the candidate step shuffles
-    nothing before the banded signature rows exist. Jaccard on 60-bit
-    shingle hashes equals Jaccard on the shingle
-    sets themselves absent a 60-bit collision inside a candidate pair
-    (~|set|^2 / 2^60) — and the DuckDB oracle hashes identically, so parity
-    is exact by construction either way.
+    signature pass (shingle → 16 minima inside one batch, no shuffle) and a
+    per-doc DISTINCT shingle-hash ARRAY pass (:func:`shingle_hash_arrays`,
+    semi-joined to candidate endpoints and persisted). The refinement is
+    then two equi-joins of the pair list against the array table plus
+    ``size(array_intersect)`` per surviving pair — the former shape
+    (explode the hash sets, join pairs through (doc, H) rows, re-aggregate)
+    shuffled every exploded (pair, H) row; this one shuffles each candidate
+    doc's set exactly once as one array cell, and the intersection runs as a
+    codegen'd JVM set-op per pair. Set sizes fall out as ``size(hs)``, so
+    the separate size aggregate is gone too. Jaccard on 60-bit shingle
+    hashes equals Jaccard on the shingle sets themselves absent a 60-bit
+    collision inside a candidate pair (~|set|^2 / 2^60) — and the DuckDB
+    oracle hashes identically, so parity is exact by construction either
+    way.
     """
     from pyspark import StorageLevel
 
-    # shd feeds three consumers (signature, sizes, intersection) and cand
-    # four (two unions below, the intersection join, the final projection) —
-    # without these persists the shingle pass recomputes per consumer
-    # (measured 25s -> ~8s at sf0.1 for the cand persist alone). Pass
-    # ``cache_registry`` to take ownership of the release (unpersist after
-    # the result is fully consumed); without it Spark's ContextCleaner
-    # unpersists once the consumed plan is garbage-collected — correct, but
-    # in a long-lived session several such caches can coexist.
-    shd = hashed_shingles(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
-    # shingle_hashes deliberately NOT forwarded (round-6): the direct
-    # signature pass (_minhash_sig_fn) computes the 16 minima inside the
-    # same Arrow batch that shingles the doc — re-deriving them from the
-    # persisted shd table was a 3.2M-row 16-way min hash-aggregate measured
-    # ~53 core-seconds at sf1.0; re-shingling in the direct pass costs ~7.
+    # arrs feeds both join sides below and cand feeds three consumers (two
+    # endpoint unions + the refinement join) — without these persists the
+    # Python shingle pass recomputes per consumer. Pass ``cache_registry``
+    # to take ownership of the release (unpersist after the result is fully
+    # consumed); without it Spark's ContextCleaner unpersists once the
+    # consumed plan is garbage-collected.
+    # (shingle_hashes is deliberately NOT forwarded to the signature pass:
+    # the direct pass computes the 16 minima inside the same Arrow batch
+    # that shingles the doc — re-deriving them from a persisted (doc, H)
+    # table was a 3.2M-row 16-way min hash-aggregate measured ~53
+    # core-seconds at sf1.0; re-shingling in the direct pass costs ~7.)
     cand = minhash_lsh_pairs(
         df, id_col, text_col, k, cache_registry=cache_registry
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cand_docs = cand.select(F.col("id_a").alias("doc")).unionByName(
         cand.select(F.col("id_b").alias("doc"))
     ).distinct()
-    sh = shd.join(cand_docs, "doc", "left_semi")
+    arrs = (
+        shingle_hash_arrays(df, id_col, text_col, k)
+        .join(cand_docs, "doc", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if cache_registry is not None:
-        cache_registry.extend((shd, cand))
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+        cache_registry.extend((arrs, cand))
+    a = arrs.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = arrs.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
     # Size-ratio candidate pruning: J(A,B) = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|),
     # so a pair whose set-size ratio cannot reach the threshold cannot pass the
-    # Jaccard filter either — drop it BEFORE the intersection join (the sizes
-    # are already computed; the pruned pairs skip the expensive shingle-level
-    # equi-join entirely). The margin covers the 4-decimal output rounding
-    # (a pair at true J = threshold - 0.00005 still rounds up to threshold)
-    # plus float slack, so pruning can never change the result set.
+    # Jaccard filter either — drop it BEFORE the per-pair intersection runs.
+    # The margin covers the 4-decimal output rounding (a pair at true
+    # J = threshold - 0.00005 still rounds up to threshold) plus float slack,
+    # so pruning can never change the result set.
     prune_t = threshold - 0.000051
-    cand_sz = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(F.least("sz_a", "sz_b") >= F.lit(prune_t) * F.greatest("sz_a", "sz_b"))
-    )
-    inter = (
-        cand_sz.join(sh.select(F.col("doc").alias("id_a"), "H"), "id_a")
-        .join(sh.select(F.col("doc").alias("id_b"), "H"), ["id_b", "H"])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("inter"))
-    )
     return (
-        inter.withColumn(
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hs_a",
+            "hs_b",
+            F.size("hs_a").alias("sz_a"),
+            F.size("hs_b").alias("sz_b"),
+        )
+        .where(F.least("sz_a", "sz_b") >= F.lit(prune_t) * F.greatest("sz_a", "sz_b"))
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
             "jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4)
         )
         .where(F.col("jaccard") >= threshold)
@@ -784,15 +840,19 @@ def connected_components(
     # construction: endpoints see the same propagation; non-endpoints were
     # (node, node) throughout and coalesce(comp, node) restores precisely
     # that row.
-    obs0 = Observation()
-    cur = ckpt(
+    # No round-0 checkpoint (round-6): the initial label table derives from
+    # the PERSISTED symmetric edge list in one narrow step, so round 1 can
+    # consume it directly — the parquet write+read and the separate initial
+    # label-sum job both disappear. Convergence compares consecutive ROUND
+    # sums (a sentinel stands in before the first round completes); with any
+    # edges present round 1 always lowers some label, so the first possible
+    # break is round 2 — exactly where the old init-sum scheme broke too.
+    cur = (
         und.select("u")
         .distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("comp"))
-        .observe(obs0, ssum),
-        0,
     )
-    cur_sum = obs0.get["s"]
+    cur_sum: object = object()  # sentinel: no sum observed yet
     rounds = 0
     for _ in range(max_iters):
         rounds += 1

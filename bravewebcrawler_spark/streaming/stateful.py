@@ -62,7 +62,7 @@ def running_user_stats_stream(spark: SparkSession, events_path: str) -> DataFram
 
 def run_stateful_to_memory(
     spark: SparkSession, events_path: str, name: str = "stateful_out",
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 0,
 ) -> DataFrame:
     # the streaming file source requires a DIRECTORY; accept a bare parquet
     # file (the testdata layout) by streaming a temp dir that symlinks it
@@ -75,12 +75,19 @@ def run_stateful_to_memory(
         events_path = d
     # State-store instance count == shuffle partitions AT STREAM START, and
     # each instance pays per-batch fixed cost (store init + one Arrow
-    # exchange with a Python worker): measured interleaved at sf0.1,
-    # 32 partitions -> 4.2-9.6s vs 8 -> 2.5s for the identical query. Size
-    # it to key cardinality: tiny keyspaces want few instances; a
-    # production stream with millions of keys passes None to keep the
-    # session's (cluster-sized) setting. The override is scoped — streaming
-    # queries capture the conf at start; restored before post-processing.
+    # exchange with a Python worker). Default (0): half the cores, floor 8 —
+    # enough instances to spread the per-key Python work across workers
+    # without paying 32 near-idle store inits on a small keyspace (measured
+    # with the pre-sized heap, best-of-2: sf1.0/15k keys 8 -> 3.6s,
+    # 16 -> 2.6s, 32 -> 2.75s; sf0.1/1.5k keys 8/16/32 all 1.3-1.8s — the
+    # old "32 costs 4-9s at sf0.1" was heap-growth full-GC noise, re-measured
+    # after the round-6 -Xms fix). Scales with the cluster, not a local
+    # constant; a production stream with millions of keys passes None to
+    # keep the session's (cluster-sized) setting. The override is scoped —
+    # streaming queries capture the conf at start; restored before
+    # post-processing.
+    if state_partitions == 0:
+        state_partitions = max(8, spark.sparkContext.defaultParallelism // 2)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
