@@ -21,8 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bravewebcrawler_spark.functions.text import portable_hash64
-from bravewebcrawler_spark.operators.dedup import shingles_col
 
 
 def contamination_hits(
@@ -39,17 +37,28 @@ def contamination_hits(
     over the doc's distinct shingle set); example_shingle is the
     lexicographically-first hit, for audit trails.
     """
+    # Round-6: both shingle passes run Arrow-batched (guide §4.2) — the
+    # column-expression form (transform/slice/array_join HOF + md5) stepped
+    # an interpreted lambda per shingle over the whole CORPUS, the one side
+    # of this operator that is 100-TB-sized. Same rows by construction
+    # (exploded_shingle_strings is the explode(array_distinct(...)) +
+    # portable_hash64 twin, shared with the dedup ladder).
+    from bravewebcrawler_spark.operators.dedup import exploded_shingle_strings
+
     bsh = (
-        benchmark.select(
-            F.explode(F.array_distinct(shingles_col(F.col(b_text), k))).alias("b_sh")
+        exploded_shingle_strings(
+            # the benchmark side needs no per-doc identity — only its global
+            # distinct shingle set — so a constant id keeps the helper's
+            # (doc, text) contract without assuming an id column exists
+            benchmark.select(F.lit(0).alias("_bid"), F.col(b_text).alias("_btext")),
+            "_bid",
+            "_btext",
+            k,
         )
+        .select(F.col("sh").alias("b_sh"), "shh")
         .distinct()
-        .select(portable_hash64(F.col("b_sh")).alias("shh"), "b_sh")
     )
-    csh = corpus.select(
-        F.col(c_id),
-        F.explode(F.array_distinct(shingles_col(F.col(c_text), k))).alias("sh"),
-    ).withColumn("shh", portable_hash64(F.col("sh")))
+    csh = exploded_shingle_strings(corpus, c_id, c_text, k).withColumnRenamed("doc", c_id)
     hits = csh.join(F.broadcast(bsh), "shh").where(F.col("sh") == F.col("b_sh"))
     return hits.groupBy(c_id).agg(
         F.count("*").alias("n_hits"), F.min("sh").alias("example_shingle")

@@ -392,6 +392,146 @@ def bucketed_neardup_pairs(
     return scored.where(F.col("cosine") >= threshold)
 
 
+def _lsh_probe_topk(
+    queries: DataFrame, corpus: DataFrame, q_id: str, q_vec: str, c_id: str, c_vec: str,
+    k: int, n_planes: int, multiprobe: bool,
+) -> DataFrame:
+    """Shared sign-LSH ANN engine (single- and multi-probe).
+
+    Round-6 shape (guide §4.2, same treatment as :func:`brute_force_topk`):
+    the query side is collected (it is the small side by contract) and its
+    buckets/probe sets are inverted into a bucket → query-indices map
+    driver-side; ONE ``mapInArrow`` pass over the corpus then computes each
+    corpus row's bucket, gathers ONLY the bucket-matched (row, query)
+    candidate pairs as index arrays, and folds their cosines dim-by-dim in
+    NumPy — the former column-expression form stepped interpreted HOF
+    lambdas per element for the bucketing (~512 steps/row) AND per candidate
+    dot. The candidate SET is identical to the bucket equi-join by
+    construction (each corpus vector in exactly one bucket, probe sets
+    distinct per query, self-pairs dropped), and the arithmetic is
+    bit-identical to the oracle: the projection and dot accumulators run the
+    same left-to-right dim fold per (row/pair), float32→float64 casts are
+    exact, norms fold identically, and ``cn * qn`` / division match IEEE.
+    Non-finite cosines skip the per-batch top-k prefilter so Spark's
+    NaN-ordering decides, exactly as before; finite candidates pass an
+    exact per-batch top-k (union-containment, ties broken (cos desc,
+    neighbor asc) — the final window's own total order)."""
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(q_id).cast("long").alias("qid"), _dbl(F.col(q_vec)).alias("qv")
+    ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+    qids_l = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    n_dims = Q.shape[1]
+    W = np.array(_plane_weights(n_planes, n_dims), dtype=np.float64)  # (planes, dims)
+    pow2 = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    qn_acc = np.zeros(len(qids_l))
+    qproj = np.zeros((len(qids_l), n_planes))
+    for i in range(n_dims):
+        qi = Q[:, i]
+        qn_acc += qi * qi
+        qproj += qi[:, None] * W[:, i][None, :]
+    qn_l = np.sqrt(qn_acc)
+    qbuck = (qproj > 0).astype(np.int64) @ pow2
+    probe_of: dict[int, list[int]] = {}
+    for j, b in enumerate(qbuck):
+        bs = {int(b)}
+        if multiprobe:
+            bs |= {int(b) ^ (1 << p) for p in range(n_planes)}
+        for bb in bs:
+            probe_of.setdefault(bb, []).append(j)
+    probe_arr = {b: np.array(idx, dtype=np.int64) for b, idx in probe_of.items()}
+
+    def score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("neighbor_id").to_numpy(zero_copy_only=False)
+            C = np.asarray(batch.column("cv").flatten(), dtype=np.float64).reshape(n, n_dims)
+            cn_acc = np.zeros(n)
+            cproj = np.zeros((n, n_planes))
+            for i in range(n_dims):
+                ci = C[:, i]
+                cn_acc += ci * ci
+                cproj += ci[:, None] * W[:, i][None, :]
+            cn = np.sqrt(cn_acc)
+            cbuck = (cproj > 0).astype(np.int64) @ pow2
+            # candidate (row, query) index arrays: rows grouped by bucket,
+            # cross-joined with the queries probing that bucket
+            order = np.argsort(cbuck, kind="stable")
+            sb = cbuck[order]
+            uniq, starts = np.unique(sb, return_index=True)
+            r_parts: list = []
+            q_parts: list = []
+            for t in range(len(uniq)):
+                ql = probe_arr.get(int(uniq[t]))
+                if ql is None:
+                    continue
+                rows = order[starts[t] : (starts[t + 1] if t + 1 < len(uniq) else n)]
+                r_parts.append(np.repeat(rows, ql.size))
+                q_parts.append(np.tile(ql, rows.size))
+            if not r_parts:
+                continue
+            r_idx = np.concatenate(r_parts)
+            q_idx = np.concatenate(q_parts)
+            keep = ids[r_idx] != qids_l[q_idx]
+            r_idx, q_idx = r_idx[keep], q_idx[keep]
+            if not r_idx.size:
+                continue
+            acc = np.zeros(r_idx.size)
+            for i in range(n_dims):
+                acc += C[r_idx, i] * Q[q_idx, i]
+            cos = acc / (cn[r_idx] * qn_l[q_idx])
+            nids = ids[r_idx]
+            finite = np.isfinite(cos)
+            out_q: list = []
+            out_i: list = []
+            out_c: list = []
+            for j in np.unique(q_idx):
+                mine = q_idx == j
+                idx = np.flatnonzero(mine & finite)
+                if idx.size:
+                    sel = idx[np.lexsort((nids[idx], -cos[idx]))[:k]]
+                    out_q.append(np.full(sel.size, qids_l[j], dtype=np.int64))
+                    out_i.append(nids[sel])
+                    out_c.append(cos[sel])
+                nonfin = np.flatnonzero(mine & ~finite)
+                if nonfin.size:
+                    out_q.append(np.full(nonfin.size, qids_l[j], dtype=np.int64))
+                    out_i.append(nids[nonfin])
+                    out_c.append(cos[nonfin])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), pa.int64()),
+                        pa.array(np.concatenate(out_i).astype(np.int64), pa.int64()),
+                        pa.array(np.concatenate(out_c), pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "cos_raw"],
+                )
+
+    c = _spread(
+        corpus.select(
+            F.col(c_id).cast("long").alias("neighbor_id"), F.col(c_vec).alias("cv")
+        )
+    )
+    survivors = c.mapInArrow(score, "query_id long, neighbor_id long, cos_raw double")
+    top = top_k_per_key(
+        survivors, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine")
+    )
+
+
 def multiprobe_lsh_topk(
     queries: DataFrame, corpus: DataFrame, q_id: str, q_vec: str, c_id: str, c_vec: str,
     k: int = 10, n_planes: int = 8,
@@ -405,62 +545,23 @@ def multiprobe_lsh_topk(
     write-time partition key, never reshuffled); only the tiny query side
     fans out x(n_planes+1). Each corpus vector lives in exactly one bucket
     and the probe set {b, b^1, b^2, ...} is distinct, so a (query, neighbor)
-    pair scores at most once — no dedup pass needed.
+    pair scores at most once — no dedup pass needed. Execution shape:
+    :func:`_lsh_probe_topk`.
     """
-    qb = _normed(queries, q_id, q_vec, "query_id", "qv", "qn").withColumn(
-        "bucket0", hyperplane_sign_bucket(F.col("qv"), n_planes)
-    )
-    probes = qb.select(
-        "query_id", "qv", "qn",
-        F.explode(
-            F.array(
-                F.col("bucket0"),
-                *[F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-            )
-        ).alias("bucket"),
-    )
-    cb = _spread(_normed(corpus, c_id, c_vec, "neighbor_id", "cv", "cn")).withColumn(
-        "bucket", hyperplane_sign_bucket(F.col("cv"), n_planes)
-    )
-    j = cb.join(F.broadcast(probes), "bucket").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = j.select(
-        "query_id", "neighbor_id",
-        (_dot_raw(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
-    )
-    top = top_k_per_key(
-        scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
-    )
-    return top.select(
-        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine")
-    )
+    return _lsh_probe_topk(queries, corpus, q_id, q_vec, c_id, c_vec, k, n_planes, True)
 
 
 def lsh_bucketed_topk(
     queries: DataFrame, corpus: DataFrame, q_id: str, q_vec: str, c_id: str, c_vec: str,
     k: int = 10, n_planes: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: equi-join on the hyperplane bucket, re-rank inside.
+    """Approximate top-k: bucket-matched candidates only, re-rank inside.
 
     The 10^10-scale path: the corpus is bucketed once (write-time partition
-    key), each query probes one bucket — no cross join, shuffle only on the
-    8-bit bucket id. Recall is traded for the 2^n_planes fan-in reduction;
-    :func:`multiprobe_lsh_topk` raises recall by also probing the
-    n_planes Hamming-1 buckets at (n_planes+1)x the probe fan-out.
+    key), each query probes one bucket — no cross join, and only
+    bucket-matched pairs are ever scored. Recall is traded for the
+    2^n_planes fan-in reduction; :func:`multiprobe_lsh_topk` raises recall
+    by also probing the n_planes Hamming-1 buckets at (n_planes+1)x the
+    probe fan-out. Execution shape: :func:`_lsh_probe_topk`.
     """
-    qb = _normed(queries, q_id, q_vec, "query_id", "qv", "qn").withColumn(
-        "bucket", hyperplane_sign_bucket(F.col("qv"), n_planes)
-    )
-    cb = _spread(_normed(corpus, c_id, c_vec, "neighbor_id", "cv", "cn")).withColumn(
-        "bucket", hyperplane_sign_bucket(F.col("cv"), n_planes)
-    )
-    j = cb.join(F.broadcast(qb), "bucket").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = j.select(
-        "query_id", "neighbor_id",
-        (_dot_raw(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
-    )
-    top = top_k_per_key(
-        scored, ["query_id"], [F.col("cos_raw").desc(), F.col("neighbor_id").asc()], k, rank_name="rank"
-    )
-    return top.select(
-        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine")
-    )
+    return _lsh_probe_topk(queries, corpus, q_id, q_vec, c_id, c_vec, k, n_planes, False)
