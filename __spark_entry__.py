@@ -643,20 +643,18 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     with every metric still value-checked — and it is the more
     production-faithful shape anyway: a 100-TB quality pass computes all
     per-doc metrics in one scan of the corpus, not four."""
+    # Round-6: the battery runs as ONE Arrow-batched pass
+    # (functions/text.text_metrics_arrow, guide §4.2) — the column-expression
+    # composition stepped interpreted HOF lambdas per token/line/gram across
+    # ~10 metrics; values are bit-identical by the per-field argument in
+    # _metrics_batch_fn, and stopword_ratio keeps its column-side rounding.
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        TX.lang_id_col(F.col("text")).alias("lang_guess"),
-        TX.lang_score_col(F.col("text"), "en").cast("long").alias("s_en"),
-        TX.lang_score_col(F.col("text"), "de").cast("long").alias("s_de"),
-        TX.lang_score_col(F.col("text"), "fr").cast("long").alias("s_fr"),
-        TX.quality_score_col(F.col("text")).alias("quality"),
-        TX.ws_token_count_col(F.col("text")).cast("long").alias("ws_tokens"),
-        TX.bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe_tokens"),
-        F.round(TX.stopword_ratio_col(F.col("text")), 4).alias("stopword_ratio"),
-        TX.dup_line_fraction_col(F.col("text")).alias("dup_line_frac"),
-        TX.dup_ngram_fraction_col(F.col("text"), 2).alias("dup_2gram_frac"),
-        TX.symbol_word_ratio_col(F.col("text")).alias("symbol_word_ratio"),
+    m = TX.text_metrics_arrow(docs, "doc_id", "text")
+    return m.select(
+        "doc_id", "lang_guess", "s_en", "s_de", "s_fr", "quality",
+        "ws_tokens", "bpe_tokens",
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        "dup_line_frac", "dup_2gram_frac", "symbol_word_ratio",
     )
 
 

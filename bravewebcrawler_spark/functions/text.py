@@ -214,3 +214,118 @@ def sql_fingerprint(expr: str) -> str:
         f"list_transform({sql_tokens(expr)}, t -> {h})), "
         f"(acc, hv) -> (acc * {FP_BASE} + hv) % {FP_MOD})"
     )
+
+
+# ----------------------------------------------------- Arrow-batched battery
+def _metrics_batch_fn():
+    """mapInArrow body for :func:`text_metrics_arrow` — exact Python twins of
+    the column expressions above, one pass per doc (guide §4.2: the HOF
+    forms step an interpreted lambda per token/line/gram; this loop is plain
+    C-speed str/set work). Bit-exactness notes per field:
+
+    - every count is an exact int (tokens, lines, grams, marker hits,
+      translate-deletion char counts, regex match counts — the Python
+      patterns spell out Java's default ASCII \\d/\\s classes);
+    - every double is produced by the SAME IEEE op sequence as the column
+      form (int/int division, left-to-right weighted sum for quality,
+      ``floor(x * 10000) / 10000`` quantization), so values are
+      bit-identical, not merely close;
+    - lang_id ties break exactly like the greatest()-over-structs form: max
+      over (score, nrank, lang) with nrank from reverse-sorted names.
+    """
+
+    def run(batches):
+        import math
+        import re
+
+        import pyarrow as pa
+
+        bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+        ell_re = re.compile(r"\.\.\.")
+        del_alnum_ws = str.maketrans("", "", _ALNUM_WS)
+        del_alpha = str.maketrans("", "", _ALPHA)
+        langs_rev = sorted(LANG_MARKERS, reverse=True)  # nrank asc = name desc
+        markers = {lg: frozenset(LANG_MARKERS[lg]) for lg in LANG_MARKERS}
+        stop = frozenset(STOPWORDS_EN)
+        floor = math.floor
+
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            cols: dict[str, list] = {
+                "doc_id": ids, "lang_guess": [], "s_en": [], "s_de": [], "s_fr": [],
+                "quality": [], "ws_tokens": [], "bpe_tokens": [], "stopword_ratio": [],
+                "dup_line_frac": [], "dup_2gram_frac": [], "symbol_word_ratio": [],
+            }
+            for txt in texts:
+                t = txt or ""
+                toks = [x for x in t.split(" ") if x]
+                low = [x for x in t.lower().split(" ") if x]
+                nt = len(toks)
+                scores = {lg: sum(1 for x in low if x in markers[lg]) for lg in markers}
+                cols["s_en"].append(scores["en"])
+                cols["s_de"].append(scores["de"])
+                cols["s_fr"].append(scores["fr"])
+                cols["lang_guess"].append(
+                    max((scores[lg], i, lg) for i, lg in enumerate(langs_rev))[2]
+                )
+                n = len(t)
+                len_part = min(n / 500.0, 1.0)
+                punct_ratio = len(t.translate(del_alnum_ws)) / max(n, 1)
+                alpha_ratio = (n - len(t.translate(del_alpha))) / max(n, 1)
+                raw = 0.4 * len_part + 0.3 * (1.0 - punct_ratio) + 0.3 * alpha_ratio
+                cols["quality"].append(floor(raw * 10000) / 10000)
+                cols["ws_tokens"].append(nt)
+                cols["bpe_tokens"].append(len(bpe_re.findall(t)))
+                cols["stopword_ratio"].append(
+                    sum(1 for x in low if x in stop) / max(nt, 1)
+                )
+                lines = [x for x in t.split("\n") if x]
+                nl = len(lines)
+                cols["dup_line_frac"].append(
+                    floor((1.0 - len(set(lines)) / nl) * 10000) / 10000 if nl > 0 else 0.0
+                )
+                if nt >= 2:
+                    ng = nt - 1
+                    dng = len(set(zip(toks, toks[1:])))
+                    cols["dup_2gram_frac"].append(floor((1.0 - dng / ng) * 10000) / 10000)
+                else:
+                    cols["dup_2gram_frac"].append(0.0)
+                sym = t.count("#") + len(ell_re.findall(t))
+                cols["symbol_word_ratio"].append(floor(sym / max(nt, 1) * 10000) / 10000)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["doc_id"], pa.int64()),
+                    pa.array(cols["lang_guess"], pa.string()),
+                    *[pa.array(cols[c], pa.int64()) for c in ("s_en", "s_de", "s_fr")],
+                    pa.array(cols["quality"], pa.float64()),
+                    *[pa.array(cols[c], pa.int64()) for c in ("ws_tokens", "bpe_tokens")],
+                    *[
+                        pa.array(cols[c], pa.float64())
+                        for c in ("stopword_ratio", "dup_line_frac", "dup_2gram_frac", "symbol_word_ratio")
+                    ],
+                ],
+                names=[
+                    "doc_id", "lang_guess", "s_en", "s_de", "s_fr", "quality",
+                    "ws_tokens", "bpe_tokens", "stopword_ratio", "dup_line_frac",
+                    "dup_2gram_frac", "symbol_word_ratio",
+                ],
+            )
+
+    return run
+
+
+def text_metrics_arrow(df, id_col: str, text_col: str):
+    """The full per-document metric battery in ONE Arrow-batched pass —
+    value-for-value identical to composing the column expressions above
+    (see :func:`_metrics_batch_fn` for the per-field exactness argument;
+    ``stopword_ratio`` is emitted RAW, callers apply their own rounding
+    exactly as with the column form)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInArrow(
+        _metrics_batch_fn(),
+        "doc_id long, lang_guess string, s_en long, s_de long, s_fr long, "
+        "quality double, ws_tokens long, bpe_tokens long, stopword_ratio double, "
+        "dup_line_frac double, dup_2gram_frac double, symbol_word_ratio double",
+    )
