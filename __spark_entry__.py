@@ -581,12 +581,19 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     caches: list = []
-    # kept feeds BOTH sides of the exact-dedup semi-join (the keeper list and
-    # the rows being kept) — unpersisted, the scan+quality prefix ran twice
-    kept = q.where(F.col("quality") >= 0.65).persist(StorageLevel.MEMORY_AND_DISK)
-    caches.append(kept)
-    keepers = kept.groupBy(F.md5(F.col("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    uniq = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    # keep-first per content hash as ONE aggregate: min_by(all columns,
+    # doc_id) per md5(text) selects exactly the min-doc_id row of each hash
+    # group (doc_id unique => deterministic) — the former shape (keeper-list
+    # groupBy + left-semi join back onto a persisted `kept`) spent a second
+    # shuffle, a broadcast, AND a cache write of the pre-dedup corpus to
+    # land on the identical row set; with one consumer of the quality gate
+    # there is nothing left to persist at this stage.
+    kept = q.where(F.col("quality") >= 0.65)
+    uniq = (
+        kept.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min_by(F.struct("doc_id", "text", "quality"), F.col("doc_id")).alias("r"))
+        .select("r.doc_id", "r.text", "r.quality")
+    )
     # lsh_refined_pairs fans uniq into three branches (signatures, shingle
     # sets, sizes) and the final anti-join makes a fourth — without this
     # persist the quality+dedup shuffle above recomputes per branch
@@ -607,12 +614,13 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.lsh_refined_pairs(uniq, "doc_id", "text", k=3, threshold=0.6, cache_registry=caches)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = uniq.join(drops, "doc_id", "left_anti")
+    # lang_id + BPE count in one Arrow pass over the surviving rows
+    # (functions/text.lang_bpe_quality_arrow — same bit-exactness argument
+    # as the text_metrics battery); quality passes through untouched, and
+    # the groupBy sees identical per-row values, so the aggregate is
+    # unchanged.
     out = (
-        final.select(
-            TX.lang_id_col(F.col("text")).alias("lang_guess"),
-            TX.bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe"),
-            "quality",
-        )
+        TX.lang_bpe_quality_arrow(final, "text", "quality")
         .groupBy("lang_guess")
         .agg(
             F.count("*").alias("n_docs"),

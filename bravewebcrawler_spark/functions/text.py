@@ -329,3 +329,47 @@ def text_metrics_arrow(df, id_col: str, text_col: str):
         "quality double, ws_tokens long, bpe_tokens long, stopword_ratio double, "
         "dup_line_frac double, dup_2gram_frac double, symbol_word_ratio double",
     )
+
+
+def _lang_bpe_fn():
+    """mapInArrow body for :func:`lang_bpe_quality_arrow`: lang_id + BPE-ish
+    token count (exact Python twins, same argument as _metrics_batch_fn)
+    with the precomputed quality column passed through untouched."""
+
+    def run(batches):
+        import re
+
+        import pyarrow as pa
+
+        bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+        langs_rev = sorted(LANG_MARKERS, reverse=True)
+        markers = {lg: frozenset(LANG_MARKERS[lg]) for lg in LANG_MARKERS}
+        for batch in batches:
+            texts = batch.column("text").to_pylist()
+            quality = batch.column("quality")
+            guesses: list[str] = []
+            bpes: list[int] = []
+            for txt in texts:
+                t = txt or ""
+                low = [x for x in t.lower().split(" ") if x]
+                guesses.append(
+                    max(
+                        (sum(1 for x in low if x in markers[lg]), i, lg)
+                        for i, lg in enumerate(langs_rev)
+                    )[2]
+                )
+                bpes.append(len(bpe_re.findall(t)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(guesses, pa.string()), pa.array(bpes, pa.int64()), quality],
+                names=["lang_guess", "bpe", "quality"],
+            )
+
+    return run
+
+
+def lang_bpe_quality_arrow(df, text_col: str, quality_col: str):
+    """(lang_guess, bpe, quality) in one Arrow pass — the corpus_prep final
+    projection without per-token HOF stepping; quality is a passthrough."""
+    return df.select(
+        F.col(text_col).alias("text"), F.col(quality_col).cast("double").alias("quality")
+    ).mapInArrow(_lang_bpe_fn(), "lang_guess string, bpe long, quality double")

@@ -48,13 +48,18 @@ def test_anti_join_stays_hash_based(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan  # never a theta anti-join
 
 
-def test_multiprobe_broadcasts_probes_not_corpus(spark, sf_dir):
+def test_multiprobe_ships_probes_not_corpus(spark, sf_dir):
     plan = _plan(E.ann_lsh_multiprobe(spark, sf_dir))
-    # the (tiny) query-probe side is the broadcast build; the corpus is
-    # scanned in place — a shuffled corpus here would be the 10^10-vector
-    # scale-killer
-    assert "BroadcastHashJoin" in plan
+    # round-6 shape (_lsh_probe_topk): the tiny query/probe side ships to
+    # every task inside the mapInArrow closure; the corpus is scanned in
+    # place and candidates are gathered per batch — a shuffled or
+    # sort-merge-joined corpus here would be the 10^10-vector scale-killer,
+    # and so would any per-pair join materialization
+    assert "MapInArrow" in plan
     assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # result equality with the former bucket equi-join is pinned in
+    # tests/test_arrow_twins.py::test_lsh_probe_topk_equals_bucket_join_form
 
 
 def test_search_api_fetch_is_arrow_batched(spark):

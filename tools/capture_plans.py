@@ -48,17 +48,16 @@ def inner_plans(spark, sf_dir):
 
         q = corpus.withColumn("quality", TX.quality_score_col(F.col("text")))
         kept = q.where(F.col("quality") >= 0.65)
-        keepers = kept.groupBy(F.md5(F.col("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
-        uniq = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        uniq = (
+            kept.groupBy(F.md5(F.col("text")).alias("h"))
+            .agg(F.min_by(F.struct("doc_id", "text", "quality"), F.col("doc_id")).alias("r"))
+            .select("r.doc_id", "r.text", "r.quality")
+        )
         pairs = DD.lsh_refined_pairs(uniq, "doc_id", "text", k=3, threshold=0.6)
         drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         final = uniq.join(drops, "doc_id", "left_anti")
         return (
-            final.select(
-                TX.lang_id_col(F.col("text")).alias("lang_guess"),
-                TX.bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe"),
-                "quality",
-            )
+            TX.lang_bpe_quality_arrow(final, "text", "quality")
             .groupBy("lang_guess")
             .agg(
                 F.count("*").alias("n_docs"),
