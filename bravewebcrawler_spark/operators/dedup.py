@@ -322,6 +322,90 @@ def _minhash_sig_fn(k: int):
     return run
 
 
+def _sig_and_array_fn(k: int):
+    """mapInArrow body for :func:`minhash_sig_and_arrays`: per doc, BOTH the
+    distinct raw shingle-hash set (one list<int64> cell, as
+    :func:`_shingle_hash_array_fn`) and the 16 minhash minima (as
+    :func:`_minhash_sig_fn`) from a single shingling of the text. Minima are
+    taken over the raw set reduced mod P — the same values as the
+    set-of-mod-P construction because a mod-P collision merges equal
+    values, which cannot change a min. Docs with no shingles (< k tokens)
+    emit an empty set and NULL minima (the signature pass emitted no row
+    for them; callers filter on ``size(hs) > 0`` to recover that row set
+    exactly)."""
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        coeffs = [(2 * j + 3, 5 * j + 7) for j in range(NUM_HASHES)]
+        for batch in batches:
+            ids = batch.column("doc").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_d: list[int] = []
+            out_hs: list[list[int]] = []
+            counts: list[int] = []
+            flat: list[int] = []
+            sig_rows: list[int] = []  # indices into out_d that have shingles
+            md5 = hashlib.md5
+            for d, txt in zip(ids, texts):
+                toks = _tokens_py(txt)
+                n = len(toks)
+                out_d.append(d)
+                if n < k:
+                    out_hs.append([])
+                    continue
+                seen: set[int] = set()
+                add = seen.add
+                for i in range(n - k + 1):
+                    add(int(md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest()[:15], 16))
+                out_hs.append(list(seen))
+                sig_rows.append(len(out_d) - 1)
+                counts.append(len(seen))
+                flat.extend(seen)
+            if not out_d:
+                continue
+            mcols: list[list] = []
+            if sig_rows:
+                H = np.array(flat, dtype=np.int64) % MINHASH_P
+                offs = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offs[1:])
+                for a, b in coeffs:
+                    mins = np.minimum.reduceat((H * a + b) % MINHASH_P, offs)
+                    col: list = [None] * len(out_d)
+                    for pos, v in zip(sig_rows, mins):
+                        col[pos] = int(v)
+                    mcols.append(col)
+            else:
+                mcols = [[None] * len(out_d) for _ in coeffs]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_d, pa.int64()),
+                    pa.array(out_hs, pa.list_(pa.int64())),
+                    *[pa.array(c, pa.int64()) for c in mcols],
+                ],
+                names=["doc", "hs", *[f"m{j}" for j in range(NUM_HASHES)]],
+            )
+
+    return run
+
+
+def minhash_sig_and_arrays(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc, hs, m0..m15) — the shingle-hash SET and the minhash signature
+    from ONE Arrow pass over the corpus. The refined-dedup chain consumes
+    both (candidates from the signature bands, exact Jaccard from the
+    sets); computing them together halves the Python passes over the text
+    (:func:`_sig_and_array_fn` for the value-equality argument)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+    ).mapInArrow(
+        _sig_and_array_fn(k),
+        "doc long, hs array<long>, " + ", ".join(f"m{j} long" for j in range(NUM_HASHES)),
+    )
+
+
 def minhash_signature_cols(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, shingle_hashes: DataFrame | None = None
 ) -> DataFrame:
@@ -362,6 +446,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     shingle_hashes: DataFrame | None = None,
     cache_registry: list | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: signature → band keys → bucket equi-join.
 
@@ -383,7 +468,15 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     rows_per_band = NUM_HASHES // NUM_BANDS
-    sig = minhash_signature_cols(df, id_col, text_col, k, shingle_hashes=shingle_hashes)
+    # ``signatures``: a precomputed (doc, m0..m15) table (e.g. the shared
+    # pass of minhash_sig_and_arrays) — identical values to the direct pass
+    # by construction, forwarded by lsh_refined_pairs so the corpus is
+    # shingled once, not twice.
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signature_cols(df, id_col, text_col, k, shingle_hashes=shingle_hashes)
+    )
 
     def band_key(band: int):
         key = F.lit(0).cast("long")
@@ -448,30 +541,28 @@ def lsh_refined_pairs(
     """
     from pyspark import StorageLevel
 
-    # arrs feeds both join sides below and cand feeds three consumers (two
-    # endpoint unions + the refinement join) — without these persists the
-    # Python shingle pass recomputes per consumer. Pass ``cache_registry``
-    # to take ownership of the release (unpersist after the result is fully
-    # consumed); without it Spark's ContextCleaner unpersists once the
-    # consumed plan is garbage-collected.
-    # (shingle_hashes is deliberately NOT forwarded to the signature pass:
-    # the direct pass computes the 16 minima inside the same Arrow batch
-    # that shingles the doc — re-deriving them from a persisted (doc, H)
-    # table was a 3.2M-row 16-way min hash-aggregate measured ~53
-    # core-seconds at sf1.0; re-shingling in the direct pass costs ~7.)
+    # ONE Python pass over the corpus computes BOTH the signature (candidate
+    # generation) and the shingle-hash sets (exact refinement) —
+    # minhash_sig_and_arrays — persisted because the banded build, the
+    # endpoint unions, and both refinement join sides all read it. Pass
+    # ``cache_registry`` to take ownership of the release (unpersist after
+    # the result is fully consumed); without it Spark's ContextCleaner
+    # unpersists once the consumed plan is garbage-collected.
+    both = minhash_sig_and_arrays(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # size(hs) > 0 recovers exactly the row set the direct signature pass
+    # emits (it skips shingle-less docs; the combined pass NULL-pads them)
+    sig = both.where(F.size("hs") > 0).select("doc", *[f"m{j}" for j in range(NUM_HASHES)])
     cand = minhash_lsh_pairs(
-        df, id_col, text_col, k, cache_registry=cache_registry
+        df, id_col, text_col, k, cache_registry=cache_registry, signatures=sig
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cand_docs = cand.select(F.col("id_a").alias("doc")).unionByName(
         cand.select(F.col("id_b").alias("doc"))
     ).distinct()
-    arrs = (
-        shingle_hash_arrays(df, id_col, text_col, k)
-        .join(cand_docs, "doc", "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    arrs = both.select("doc", "hs").join(cand_docs, "doc", "left_semi")
     if cache_registry is not None:
-        cache_registry.extend((arrs, cand))
+        cache_registry.extend((both, cand))
     a = arrs.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
     b = arrs.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
     # Size-ratio candidate pruning: J(A,B) = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|),
